@@ -1,0 +1,426 @@
+"""Minimal deterministic PDF writer/parser pair.
+
+This environment has no ``pdfminer.six``, so the engine carries its own
+parser for a strict, deterministic subset of PDF 1.4:
+
+* uncompressed content streams, fixed object layout, no timestamps/IDs
+* text shown with ``BT .. Tf/Tm/Td/TD/TL/T* .. Tj/TJ .. ET``
+* monospaced metrics (CHAR_WIDTH=600/1000 em for every glyph) so that
+  writer and parser agree on glyph advances by construction
+
+The *writer* (`build_pdf`) is the fixture generator required by
+FIXTURES.md §1.1; the *parser* (`parse_pdf`) recovers pages, line boxes
+and per-char font runs. Layout semantics that the reference implements
+on top of pdfminer (coordinate normalization + y-flip, reading order,
+style runs — see /root/reference/edspdf/pipes/extractors/pdfminer.py:103-194)
+live in :mod:`edspdf_spark.kernels.extract`, not here.
+
+Nothing in this module touches Spark; it is a pure-Python document
+kernel invoked from Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+# Monospaced font model shared by writer and parser (units: 1/1000 em).
+CHAR_WIDTH = 600
+ASCENT = 800
+DESCENT = -200
+
+# Font tag -> BaseFont name. Names are chosen so the reference's style
+# rules fire: italic iff "italic" in name.lower(), bold iff "bold"
+# (pdfminer.py:226-227).
+FONTS = {
+    "F1": "Helvetica",
+    "F2": "Helvetica-Bold",
+    "F3": "Helvetica-Italic",
+    "F4": "Helvetica-BoldItalic",
+}
+_FONT_TAG_BY_NAME = {v: k for k, v in FONTS.items()}
+
+PAGE_WIDTH = 612.0
+PAGE_HEIGHT = 792.0
+
+
+class PdfParseError(Exception):
+    """Raised for bytes this parser cannot interpret as a PDF."""
+
+
+def text_width(text: str, size: float) -> float:
+    """Advance width of `text` at font `size` under the monospaced model."""
+    return len(text) * CHAR_WIDTH * size / 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Segment:
+    """A same-font run of characters within a line."""
+
+    text: str
+    font: str = "Helvetica"  # BaseFont name
+    size: float = 10.0
+
+
+@dataclass
+class Line:
+    """One visual text line placed at baseline (x, y) in PDF user space."""
+
+    x: float
+    y: float
+    segments: List[Segment] = field(default_factory=list)
+
+    @classmethod
+    def simple(cls, x: float, y: float, text: str, font: str = "Helvetica",
+               size: float = 10.0) -> "Line":
+        return cls(x=x, y=y, segments=[Segment(text=text, font=font, size=size)])
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
+              page_height: float = PAGE_HEIGHT) -> bytes:
+    """Serialize pages of Lines into deterministic PDF bytes.
+
+    Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4, then for each
+    page two objects (Page, Contents). Offsets in the xref are exact.
+    """
+    n_pages = len(pages)
+    font_objs = list(FONTS.items())  # 4 fonts -> objects 3..6
+    first_page_obj = 3 + len(font_objs)
+    page_obj_ids = [first_page_obj + 2 * i for i in range(n_pages)]
+
+    objects: List[bytes] = []
+
+    kids = " ".join(f"{oid} 0 R" for oid in page_obj_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for _tag, base in font_objs:
+        objects.append(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>".encode()
+        )
+
+    font_res = " ".join(
+        f"/{tag} {3 + i} 0 R" for i, (tag, _b) in enumerate(font_objs)
+    )
+    for i, lines in enumerate(pages):
+        content = _content_stream(lines)
+        page_dict = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_width:g} "
+            f"{page_height:g}] /Resources << /Font << {font_res} >> >> "
+            f"/Contents {page_obj_ids[i] + 1} 0 R >>"
+        ).encode()
+        stream_obj = (
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream"
+        )
+        objects.append(page_dict)
+        objects.append(stream_obj)
+
+    out = bytearray()
+    out += b"%PDF-1.4\n"
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _content_stream(lines: List[Line]) -> bytes:
+    ops: List[str] = []
+    for ln in lines:
+        ops.append("BT")
+        ops.append(f"1 0 0 1 {ln.x:g} {ln.y:g} Tm")
+        for seg in ln.segments:
+            tag = _FONT_TAG_BY_NAME[seg.font]
+            ops.append(f"/{tag} {seg.size:g} Tf")
+            ops.append(f"({_esc(seg.text)}) Tj")
+        ops.append("ET")
+    return "\n".join(ops).encode("latin-1", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParsedLine:
+    """A text line in PDF user space (y axis up)."""
+
+    x0: float
+    y0: float  # bottom (pdf coords)
+    x1: float
+    y1: float  # top (pdf coords)
+    # per-char: (char, basefont-name, upright)
+    chars: List[Tuple[str, str, bool]] = field(default_factory=list)
+
+
+@dataclass
+class ParsedPage:
+    page_num: int
+    width: float
+    height: float
+    lines: List[ParsedLine] = field(default_factory=list)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_FONTRES_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+_TOKEN_RE = re.compile(
+    rb"""
+      (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<name>/[^\s/\[\]()<>]+)
+    | (?P<num>[-+]?(?:\d+\.\d*|\.\d+|\d+))
+    | (?P<arr>[\[\]])
+    | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+    """,
+    re.X,
+)
+
+_STR_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    # raw includes surrounding parens
+    body = raw[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                digits = b""
+                while j < len(body) and len(digits) < 3 and body[j : j + 1].isdigit():
+                    digits += body[j : j + 1]
+                    j += 1
+                out.append(chr(int(digits, 8)))
+                i = j
+                continue
+            out.append(nxt.decode("latin-1"))
+            i += 2
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def parse_pdf(data: bytes) -> List[ParsedPage]:
+    """Parse the deterministic PDF subset into pages of positioned lines.
+
+    Raises PdfParseError for anything malformed (mirrors the reference's
+    error semantics, pdfminer.py:128-135: the caller converts this into
+    ``error=True`` and zero pages unless ``raise_on_error``).
+    """
+    if not isinstance(data, (bytes, bytearray)):
+        raise PdfParseError("not bytes")
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("missing %PDF- header")
+    if b"%%EOF" not in data:
+        raise PdfParseError("missing %%EOF marker")
+
+    objs: Dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    if not objs:
+        raise PdfParseError("no objects found")
+
+    # BaseFont names by object id
+    fonts_by_obj: Dict[int, str] = {}
+    for oid, body in objs.items():
+        fm = _BASEFONT_RE.search(body)
+        if fm and b"/Type" in body and b"/Font" in body:
+            fonts_by_obj[oid] = fm.group(1).decode("latin-1")
+
+    # Page object ids, in document order via the Pages tree when present
+    page_ids: List[int] = []
+    pages_nodes = [
+        (oid, body) for oid, body in objs.items()
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body
+    ]
+    if pages_nodes:
+        _oid, body = pages_nodes[0]
+        km = _KIDS_RE.search(body)
+        if km:
+            page_ids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+    if not page_ids:
+        page_ids = sorted(
+            oid for oid, body in objs.items()
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+        )
+    if not page_ids:
+        raise PdfParseError("no pages")
+
+    pages: List[ParsedPage] = []
+    for page_num, pid in enumerate(page_ids):
+        body = objs.get(pid)
+        if body is None:
+            raise PdfParseError(f"dangling page ref {pid}")
+        mb = _MEDIABOX_RE.search(body)
+        if not mb:
+            raise PdfParseError("page without MediaBox")
+        x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
+        width, height = x1 - x0, y1 - y0
+
+        font_res = {
+            m.group(1).decode(): int(m.group(2))
+            for m in _FONTRES_RE.finditer(body)
+        }
+
+        cm = _CONTENTS_RE.search(body)
+        lines: List[ParsedLine] = []
+        if cm:
+            cobj = objs.get(int(cm.group(1)))
+            if cobj is None:
+                raise PdfParseError("dangling contents ref")
+            sm = _STREAM_RE.search(cobj)
+            if sm is None:
+                raise PdfParseError("contents without stream")
+            lines = _run_content(
+                sm.group(1),
+                {tag: fonts_by_obj.get(oid, "Unknown") for tag, oid in font_res.items()},
+            )
+        pages.append(ParsedPage(page_num=page_num, width=width, height=height,
+                                lines=lines))
+    return pages
+
+
+def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
+    """Interpret a content stream; every BT..ET block becomes one line."""
+    lines: List[ParsedLine] = []
+    stack: List[object] = []
+
+    in_text = False
+    tx = ty = 0.0
+    line_x = line_y = 0.0
+    leading = 0.0
+    font = "Unknown"
+    size = 0.0
+    cur: Optional[ParsedLine] = None
+    y_lo = y_hi = 0.0
+
+    def flush():
+        nonlocal cur
+        if cur is not None and cur.chars:
+            lines.append(cur)
+        cur = None
+
+    def ensure_line():
+        nonlocal cur, y_lo, y_hi
+        if cur is None:
+            cur = ParsedLine(x0=tx, y0=ty + DESCENT * size / 1000.0,
+                             x1=tx, y1=ty + ASCENT * size / 1000.0)
+            y_lo = cur.y0
+            y_hi = cur.y1
+
+    def show(text: str):
+        nonlocal tx, y_lo, y_hi
+        if not in_text:
+            raise PdfParseError("Tj outside BT/ET")
+        ensure_line()
+        assert cur is not None
+        for ch in text:
+            cur.chars.append((ch, font, True))
+        tx += text_width(text, size)
+        cur.x1 = max(cur.x1, tx)
+        cur.x0 = min(cur.x0, cur.x0)
+        y_lo = min(y_lo, ty + DESCENT * size / 1000.0)
+        y_hi = max(y_hi, ty + ASCENT * size / 1000.0)
+        cur.y0, cur.y1 = y_lo, y_hi
+
+    for m in _TOKEN_RE.finditer(stream):
+        kind = m.lastgroup
+        tok = m.group(0)
+        if kind == "str":
+            stack.append(_decode_pdf_string(tok))
+        elif kind == "name":
+            stack.append(tok[1:].decode("latin-1"))
+        elif kind == "num":
+            stack.append(float(tok))
+        elif kind == "arr":
+            stack.append(tok.decode())
+        elif kind == "op":
+            op = tok.decode()
+            if op == "BT":
+                in_text = True
+                tx = ty = 0.0
+                cur = None
+            elif op == "ET":
+                flush()
+                in_text = False
+            elif op == "Tf":
+                size = float(stack[-1])
+                font = font_names.get(str(stack[-2]), "Unknown")
+                stack.clear()
+            elif op == "Tm":
+                # only translation matrices are supported in this subset
+                tx, ty = float(stack[-2]), float(stack[-1])
+                line_x, line_y = tx, ty
+                flush()
+                stack.clear()
+            elif op in ("Td", "TD"):
+                line_x += float(stack[-2])
+                line_y += float(stack[-1])
+                if op == "TD":
+                    leading = -float(stack[-1])
+                tx, ty = line_x, line_y
+                flush()
+                stack.clear()
+            elif op == "TL":
+                leading = float(stack[-1])
+                stack.clear()
+            elif op == "T*":
+                line_y -= leading
+                tx, ty = line_x, line_y
+                flush()
+                stack.clear()
+            elif op == "Tj":
+                show(str(stack[-1]))
+                stack.clear()
+            elif op == "TJ":
+                for item in stack:
+                    if isinstance(item, str) and item not in ("[", "]"):
+                        show(item)
+                stack.clear()
+            else:
+                stack.clear()
+    flush()
+    return lines

@@ -1,0 +1,283 @@
+"""Kernel unit tests — golden cases lifted from the reference test
+suite (FIXTURES.md §4; citations per case)."""
+
+import pytest
+
+from edspdf_spark.kernels import (PdfParseError, aggregate_doc, align_labels,
+                                  build_pdf, classify_with_masks, extract_doc,
+                                  parse_pdf, reading_order, to_markdown,
+                                  walk_line)
+from edspdf_spark.kernels.pdf import Line, Segment
+from edspdf_spark.synth import make_pdf_bytes
+
+
+# ---------------------------------------------------------------------------
+# pdf writer/parser roundtrip
+# ---------------------------------------------------------------------------
+
+def test_pdf_roundtrip_simple():
+    pages = [[Line.simple(72, 700, "Hello world", size=12),
+              Line.simple(72, 650, "Second line", size=12)],
+             [Line.simple(100, 500, "Page two", size=10)]]
+    data = build_pdf(pages)
+    parsed = parse_pdf(data)
+    assert len(parsed) == 2
+    assert parsed[0].width == 612 and parsed[0].height == 792
+    texts = ["".join(c for c, _f, _u in ln.chars) for ln in parsed[0].lines]
+    assert texts == ["Hello world", "Second line"]
+    ln = parsed[0].lines[0]
+    assert ln.x0 == 72
+    # monospaced advance: 11 chars * 600/1000 * 12pt
+    assert ln.x1 == pytest.approx(72 + 11 * 0.6 * 12)
+    assert ln.y1 == pytest.approx(700 + 0.8 * 12)
+    assert ln.y0 == pytest.approx(700 - 0.2 * 12)
+
+
+def test_pdf_roundtrip_styled_segments():
+    pages = [[Line(x=72, y=700, segments=[
+        Segment(text="plain ", size=10),
+        Segment(text="bold", font="Helvetica-Bold", size=10),
+        Segment(text=" ital", font="Helvetica-Italic", size=10),
+    ])]]
+    parsed = parse_pdf(build_pdf(pages))
+    ln = parsed[0].lines[0]
+    assert "".join(c for c, _f, _u in ln.chars) == "plain bold ital"
+    fonts = {f for _c, f, _u in ln.chars}
+    assert fonts == {"Helvetica", "Helvetica-Bold", "Helvetica-Italic"}
+
+
+def test_pdf_escapes_roundtrip():
+    pages = [[Line.simple(72, 700, r"parens (x) and \slash", size=10)]]
+    parsed = parse_pdf(build_pdf(pages))
+    assert "".join(c for c, _f, _u in parsed[0].lines[0].chars) == \
+        r"parens (x) and \slash"
+
+
+def test_pdf_parse_error_on_truncated():
+    data = build_pdf([[Line.simple(72, 700, "x")]])
+    with pytest.raises(PdfParseError):
+        parse_pdf(data[:100])
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"not a pdf at all")
+
+
+# ---------------------------------------------------------------------------
+# style walk (reference pdfminer.py:197-249)
+# ---------------------------------------------------------------------------
+
+def _chars(s, font="Helvetica", upright=True):
+    return [(c, font, upright) for c in s]
+
+
+def test_walk_line_whitespace_rules():
+    text, spans = walk_line(_chars("  Hello\t world  "))
+    assert text == "Hello world"  # no leading/double spaces, rstripped
+    assert spans[0]["begin"] == 0
+
+
+def test_walk_line_style_runs():
+    chars = _chars("ab ") + _chars("cd", font="Helvetica-Bold") + \
+        _chars(" ef", font="Helvetica-Italic")
+    text, spans = walk_line(chars)
+    assert text == "ab cd ef"
+    # spaces inherit the previous style key but do NOT extend span end
+    # (reference pdfminer.py:240-241: `elif new_char_text != " "`)
+    assert [s["bold"] for s in spans] == [False, True, False]
+    assert [s["italic"] for s in spans] == [False, False, True]
+    assert text[spans[1]["begin"]:spans[1]["end"]] == "cd"
+    assert text[spans[2]["begin"]:spans[2]["end"]] == "ef"
+
+
+def test_walk_line_empty():
+    assert walk_line([]) == ("", [])
+    text, spans = walk_line(_chars("   "))
+    assert text == ""
+
+
+# ---------------------------------------------------------------------------
+# reading order (reference structures.py:197-234)
+# ---------------------------------------------------------------------------
+
+def test_reading_order_vertical_then_horizontal():
+    boxes = [
+        (0, 0.1, 0.4, 0.5, 0.6),  # lower left
+        (0, 0.1, 0.4, 0.1, 0.2),  # top
+        (0, 0.6, 0.9, 0.5, 0.6),  # lower right
+    ]
+    assert reading_order(boxes) == [1, 0, 2]
+
+
+def test_reading_order_pages_first():
+    boxes = [(1, 0.1, 0.2, 0.1, 0.2), (0, 0.8, 0.9, 0.8, 0.9)]
+    assert reading_order(boxes) == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# alignment / mask classification (FIXTURES.md §4.1, §4.2;
+# reference tests/pipes/classifiers/test_mask.py:37-58, test_align.py:5-36)
+# ---------------------------------------------------------------------------
+
+BLOCS_3 = [
+    (0, 0.1, 0.9, 0.1, 0.2),
+    (0, 0.1, 0.4, 0.6, 0.7),
+    (0, 0.1, 0.9, 0.6, 0.7),
+]
+
+
+def test_mask_classifier_threshold_04():
+    masks = [(None, 0.0, 0.5, 0.5, 1.0, "body")]
+    labels = classify_with_masks(masks, BLOCS_3, threshold=0.4)
+    assert labels == ["pollution", "body", "body"]
+
+
+def test_mask_classifier_threshold_09():
+    masks = [(None, 0.0, 0.5, 0.5, 1.0, "body")]
+    labels = classify_with_masks(masks, BLOCS_3, threshold=0.9)
+    assert labels == ["pollution", "body", "pollution"]
+
+
+def test_align_per_page_vs_global_masks():
+    # 6 blocs over 2 pages (reference conftest.py:18-34 uses 3 per page)
+    blocs = [(0, 0.1, 0.9, 0.1, 0.2), (0, 0.1, 0.4, 0.6, 0.7),
+             (0, 0.1, 0.9, 0.6, 0.7), (1, 0.1, 0.9, 0.1, 0.2),
+             (1, 0.1, 0.4, 0.6, 0.7), (1, 0.1, 0.9, 0.6, 0.7)]
+    per_page = [(0, 0.0, 1.0, 0.0, 1.0, "big"),
+                (1, 0.0, 1.0, 0.0, 1.0, "small")]
+    labels = align_labels(per_page, blocs, threshold=0.4)
+    assert labels == ["big"] * 3 + ["small"] * 3
+
+    global_mask = [(None, 0.0, 1.0, 0.0, 1.0, "small")]
+    labels = align_labels(global_mask, blocs, threshold=0.4)
+    assert labels == ["small"] * 6
+
+
+def test_mask_priority_first_wins():
+    # two identical masks: the earlier one must win (argmax first-max)
+    masks = [(None, 0.0, 1.0, 0.0, 1.0, "first"),
+             (None, 0.0, 1.0, 0.0, 1.0, "second")]
+    labels = classify_with_masks(masks, BLOCS_3, threshold=0.1)
+    assert labels == ["first"] * 3
+
+
+# ---------------------------------------------------------------------------
+# aggregation (FIXTURES.md §4.3; reference test_simple.py:9-62)
+# ---------------------------------------------------------------------------
+
+def _bloc(page, x0, y0, x1, y1, text, label="body", props=None):
+    return {"page_num": page, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            "text": text, "label": label, "props": props or []}
+
+
+def test_aggregate_golden_separators():
+    blocs = [
+        _bloc(0, 0.1, 0.1, 0.5, 0.2, "Begin"),
+        _bloc(0, 0.6, 0.1, 0.7, 0.2, "and"),
+        _bloc(0, 0.8, 0.1, 0.9, 0.2, "end."),
+        _bloc(1, 0.8, 0.1, 0.9, 0.2, "New page"),
+    ]
+    out = aggregate_doc(blocs)
+    assert out["body"]["text"] == "Begin and end.\n\nNew page"
+
+
+def test_aggregate_newline_and_paragraph():
+    # heights 0.1; dy = 0.13 -> "\n" (0.2 < 1.3 <= 1.5, disjoint);
+    # dy = 0.25 -> "\n\n" (2.5 > 1.5, disjoint)
+    blocs = [
+        _bloc(0, 0.1, 0.10, 0.5, 0.20, "a"),
+        _bloc(0, 0.1, 0.23, 0.5, 0.33, "b"),
+        _bloc(0, 0.1, 0.48, 0.5, 0.58, "c"),
+    ]
+    out = aggregate_doc(blocs)
+    assert out["body"]["text"] == "a\nb\n\nc"
+
+
+def test_aggregate_label_map_fanout_and_seed():
+    blocs = [_bloc(0, 0.1, 0.1, 0.5, 0.2, "T", label="title"),
+             _bloc(0, 0.1, 0.4, 0.5, 0.5, "B", label="body")]
+    out = aggregate_doc(blocs, label_map={"text": ["title", "body"],
+                                          "title": "title",
+                                          "empty": "nothing"})
+    assert out["text"]["text"] == "T\n\nB"
+    assert out["title"]["text"] == "T"
+    assert out["empty"]["text"] == ""  # pre-seeded label, no lines
+    assert "body" not in out  # consumed by the map
+
+
+def test_aggregate_unlabeled_and_empty_dropped():
+    blocs = [_bloc(0, 0.1, 0.1, 0.5, 0.2, "keep"),
+             _bloc(0, 0.1, 0.4, 0.5, 0.5, "", label="body"),
+             _bloc(0, 0.1, 0.6, 0.5, 0.7, "drop", label=None)]
+    out = aggregate_doc(blocs)
+    assert out["body"]["text"] == "keep"
+
+
+def test_aggregate_styles_rebased_and_markdown():
+    blocs = [
+        _bloc(0, 0.1, 0.10, 0.5, 0.20, "this mi",
+              props=[{"italic": False, "bold": True, "begin": 0, "end": 7,
+                      "fontname": "Helvetica-Bold"}]),
+        _bloc(0, 0.1, 0.12, 0.9, 0.22, "ght be hard.",
+              props=[{"italic": False, "bold": False, "begin": 0, "end": 12,
+                      "fontname": "Helvetica"}]),
+    ]
+    out = aggregate_doc(blocs)
+    text, props = out["body"]["text"], out["body"]["properties"]
+    assert text == "this mi ght be hard."
+    assert (props[0]["begin"], props[0]["end"]) == (0, 7)
+    assert (props[1]["begin"], props[1]["end"]) == (8, 20)
+    assert to_markdown(text, props) == "**this mi** ght be hard."
+
+
+def test_aggregate_sort_option():
+    # out-of-order blocs; sort=True orders by (label, page, y1//row_height, x0)
+    blocs = [
+        _bloc(0, 0.1, 0.60, 0.5, 0.70, "world"),
+        _bloc(0, 0.1, 0.10, 0.5, 0.20, "hello"),
+    ]
+    assert aggregate_doc(blocs)["body"]["text"] == "world hello"
+    assert aggregate_doc(blocs, sort=True)["body"]["text"] == "hello\n\nworld"
+
+
+# ---------------------------------------------------------------------------
+# extract end-to-end on synthetic PDFs
+# ---------------------------------------------------------------------------
+
+def test_extract_doc_basic():
+    res = extract_doc(make_pdf_bytes(1))
+    assert res["error"] is False
+    assert res["num_pages"] == 2
+    assert len(res["blocs"]) > 0
+    for b in res["blocs"]:
+        assert 0 <= b["x0"] <= b["x1"] <= 1
+        assert 0 <= b["y0"] <= b["y1"] <= 1
+        assert len(b["text"]) > 0
+    # reading order: per page, header (top) first
+    first = res["blocs"][0]
+    assert first["text"].startswith("Page 1 of doc")
+
+
+def test_extract_doc_error_semantics():
+    corrupt = make_pdf_bytes(13)  # every 13th doc is truncated
+    res = extract_doc(corrupt)
+    assert res["error"] is True
+    assert res["num_pages"] == 0 and res["blocs"] == []
+    with pytest.raises(PdfParseError):
+        extract_doc(corrupt, raise_on_error=True)
+
+
+def test_extract_doc_styles():
+    res = extract_doc(make_pdf_bytes(7), extract_style=True)  # styled doc
+    assert res["error"] is False
+    all_props = [p for b in res["blocs"] for p in b["props"]]
+    assert any(p["bold"] for p in all_props)
+    assert any(p["italic"] for p in all_props)
+    # spans index into the bloc text
+    for b in res["blocs"]:
+        for p in b["props"]:
+            assert 0 <= p["begin"] <= p["end"] <= len(b["text"]) + 1
+
+
+def test_extract_determinism():
+    a = extract_doc(make_pdf_bytes(5))
+    b = extract_doc(make_pdf_bytes(5))
+    assert a == b
