@@ -1,0 +1,130 @@
+"""Scale plumbing tests: skew defusal, metrics, checkpoint/resume,
+sources/sinks, streaming exactly-once."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark import synth
+from edspdf_spark.operators import PipelineConfig, run_fused
+from edspdf_spark.plans import (defuse_skew, done_buckets, lineage_row,
+                                metrics_from_fused, new_run_id, read_result,
+                                run_with_checkpoint)
+from edspdf_spark.sources import (from_iterable, from_pandas,
+                                  read_pages_parquet, to_iterable, to_pandas,
+                                  write_texts_parquet)
+
+CFG = PipelineConfig(masks=[(None, 0.1, 0.9, 0.1, 0.9, "body")], threshold=0.1)
+
+
+def _flat(df):
+    return sorted((r.url, r.label or "", r.text or "")
+                  for r in df.select("url", "label", "text").collect())
+
+
+def test_defuse_skew_preserves_rows(spark):
+    pages = synth.pages_spark(spark, 30, num_partitions=2)
+    out = defuse_skew(pages, num_partitions=6, oversize_bytes=3000)
+    assert out.count() == 30
+    assert sorted(r.url for r in out.select("url").collect()) == \
+        sorted(r.url for r in pages.select("url").collect())
+
+
+def test_metrics_rollup(spark):
+    pages = synth.pages_spark(spark, 27, num_partitions=3)
+    fused = run_fused(pages, CFG)
+    run_id = new_run_id()
+    m = metrics_from_fused(fused, run_id).toPandas()
+    assert m["docs"].sum() == 27
+    assert m["error_docs"].sum() == 2  # docs 13, 26
+    assert (m["bytes_in"] > 0).all()
+    lin = lineage_row(spark, run_id, "synthetic n=27").toPandas()
+    assert lin.iloc[0]["run_id"] == run_id
+
+
+def test_checkpoint_resume_after_crash(spark, tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    pages = synth.pages_spark(spark, 30, num_partitions=4).cache()
+    pages.count()
+
+    # reference run without checkpointing
+    want = _flat(run_fused(pages, CFG))
+
+    # crash after 2 of 6 buckets
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_checkpoint(pages, CFG, out_dir, n_buckets=6,
+                            buckets_per_job=2, fail_after_buckets=2)
+    assert len(done_buckets(out_dir, 6)) == 2
+
+    # resume completes the rest; result identical to the one-shot run
+    run_with_checkpoint(pages, CFG, out_dir, n_buckets=6, buckets_per_job=2)
+    assert len(done_buckets(out_dir, 6)) == 6
+    got = _flat(read_result(spark, out_dir))
+    assert got == want
+
+    # idempotence: running again does nothing and changes nothing
+    run_with_checkpoint(pages, CFG, out_dir, n_buckets=6, buckets_per_job=2)
+    assert _flat(read_result(spark, out_dir)) == want
+    pages.unpersist()
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    for i in range(4):
+        (pdf_dir / f"doc_{i}.pdf").write_bytes(synth.make_pdf_bytes(i + 1))
+    df = spark.read.format("binaryFile").load(str(pdf_dir))
+    assert df.count() == 4
+
+    from edspdf_spark.sources import read_pdf_files
+    pages = read_pdf_files(spark, str(pdf_dir))
+    assert pages.count() == 4
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    out = run_fused(pages, CFG)
+    assert out.where("label = 'body'").count() == 4
+
+    # iterable + pandas readers
+    it_pages = from_iterable(spark, [("u1", synth.make_pdf_bytes(2))])
+    assert run_fused(it_pages, CFG).where("label='body'").count() == 1
+    pd_pages = from_pandas(spark, synth.pages_pandas(3))
+    assert pd_pages.count() == 3
+
+    # writers
+    texts = run_fused(pages, CFG)
+    tgt = str(tmp_path / "texts")
+    write_texts_parquet(texts.drop("properties"), tgt, mode="overwrite")
+    back = read_pages_parquet(spark, tgt)  # generic parquet read
+    assert back.count() == texts.count()
+    assert len(to_pandas(back)) == back.count()
+    assert sum(1 for _ in to_iterable(back)) == back.count()
+
+
+def test_streaming_exactly_once(spark, tmp_path):
+    from edspdf_spark.streaming import stream_pages
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    # batch 1: docs 0..9
+    synth.pages_spark(spark, 10, num_partitions=1).write.mode("append") \
+        .parquet(in_dir)
+    q = stream_pages(spark, in_dir, out_dir, ck_dir, CFG)
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir)
+    n1 = first.select("url").distinct().count()
+    assert n1 == 10
+
+    # batch 2: docs 10..19 arrive later; re-trigger drains ONLY new files
+    synth.pages_spark(spark, 20, num_partitions=1) \
+        .where(F.col("url") >= "https://example.org/doc/00000010") \
+        .write.mode("append").parquet(in_dir)
+    q = stream_pages(spark, in_dir, out_dir, ck_dir, CFG)
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    assert res.select("url").distinct().count() == 20
+    # exactly-once: no url appears with duplicate (label) rows
+    dup = (res.groupBy("url", "label").count().where("count > 1").count())
+    assert dup == 0
