@@ -1,38 +1,759 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the fused extract->classify->aggregate
+pipeline over a deterministic synthetic Common-Crawl-style pages
+table sized from sf0.001.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator
+(SURVEY.md §2 + the training-data operator suite). Queries marked
+`rows-only` have no SQL-expressible oracle (PDF parsing in DuckDB);
+everything else carries an exact DuckDB oracle: all shared math uses
+engine-portable constructions (md5-prefix BIGINT hashes, integer
+arithmetic, quantized dot products) so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402,N812
+
+from edspdf_spark import synth  # noqa: E402
+from edspdf_spark.operators import (PipelineConfig, aggregate, blocs,  # noqa: E402
+                                    extract, mask_classify, masks_df,
+                                    run_fused)
+from edspdf_spark.operators.analysis import (fingerprint, lang_id,  # noqa: E402
+                                             text_quality)
+from edspdf_spark.operators.dedup import (exact_dedup, jaccard_pairs,  # noqa: E402
+                                          minhash_lsh_pairs, shingle_table,
+                                          simhash, simhash_near_pairs)
+from edspdf_spark.operators.multimodal import (binary_metadata,  # noqa: E402
+                                               extract_features)
+from edspdf_spark.operators.simsearch import (brute_force_topk,  # noqa: E402
+                                              cosine_bucket_pairs)
+from edspdf_spark.plans import defuse_skew  # noqa: E402
+
+BODY_MASKS = [(None, 0.1, 0.9, 0.1, 0.9, "body")]
+PIPE_CFG = PipelineConfig(masks=BODY_MASKS, threshold=0.1)
+
+N_SYNTH_DOCS = 200  # fixed-size synthetic corpus for extraction queries
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Sized from sf0.001's documents table; generates the pages table
+    on executors and runs the zero-shuffle fused pipeline."""
+    n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    pages = synth.pages_spark(spark, int(n), num_partitions=8)
+    out = run_fused(defuse_skew(pages, 8), PIPE_CFG)
+    return out.select("url", "label", "text", "error", "num_pages", "n_blocs")
+
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side). Every arithmetic literal is written
+# CAST(x AS DOUBLE)/d so both engines do identical float64 ops — Spark
+# and DuckDB both parse bare `0.43` as DECIMAL, which would diverge.
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _corpus_exact(spark, sf_dir):
+    """documents + exact copies of every 10th doc (id+1000000)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = (d.where(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return d.unionByName(dup)
+
+
+CORPUS_EXACT_SQL = """
+  (SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 1000000 AS doc_id, text FROM documents
+   WHERE doc_id % 10 = 0)
+"""
+
+
+def _corpus_near(spark, sf_dir):
+    """documents + NEAR copies (every 5th doc, last 15 chars dropped)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = (d.where(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.expr("substring(text, 1, length(text) - 15)")
+                   .alias("text")))
+    return d.unionByName(dup)
+
+
+CORPUS_NEAR_SQL = """
+  (SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 1000000 AS doc_id,
+          substring(text, 1, length(text) - 15) AS text
+   FROM documents WHERE doc_id % 5 = 0)
+"""
+
+# DuckDB fragment: distinct word-3-shingle codes per doc over a corpus
+SHINGLES_SQL = """
+  WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+    FROM {corpus}
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+  ),
+  codes AS (
+    SELECT doc_id AS id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS code
+    FROM sh
+  )
+"""
+
+
+def _derived_blocs(spark, sf_dir):
+    """5 synthetic blocs per document, coordinates from exact integer
+    arithmetic (identical formulas in the oracle)."""
+    return _docs(spark, sf_dir).select("doc_id").selectExpr(
+        "doc_id",
+        "explode(sequence(0, 4)) AS k",
+    ).selectExpr(
+        "cast(doc_id as string) AS url",
+        "cast(pmod(k, 2) as int) AS page_num",
+        "cast(k as int) AS order_idx",
+        "doc_id", "k",
+        "CAST((doc_id * 7 + k * 13) % 80 AS DOUBLE) / 100 AS x0",
+        "CAST((doc_id * 7 + k * 13) % 80 + 10 + (doc_id + k) % 10 AS DOUBLE)"
+        " / 100 AS x1",
+        "CAST((doc_id * 11 + k * 17) % 80 AS DOUBLE) / 100 AS y0",
+        "CAST((doc_id * 11 + k * 17) % 80 + 5 + (doc_id * 3 + k) % 12"
+        " AS DOUBLE) / 100 AS y1",
+        "concat('w', doc_id, '_', k) AS text",
+    )
+
+
+DERIVED_BLOCS_SQL = """
+  (SELECT CAST(doc_id AS VARCHAR) AS url,
+          CAST(k % 2 AS INTEGER) AS page_num,
+          CAST(k AS INTEGER) AS order_idx,
+          doc_id, k,
+          CAST((doc_id * 7 + k * 13) % 80 AS DOUBLE) / 100 AS x0,
+          CAST((doc_id * 7 + k * 13) % 80 + 10 + (doc_id + k) % 10 AS DOUBLE)
+            / 100 AS x1,
+          CAST((doc_id * 11 + k * 17) % 80 AS DOUBLE) / 100 AS y0,
+          CAST((doc_id * 11 + k * 17) % 80 + 5 + (doc_id * 3 + k) % 12
+            AS DOUBLE) / 100 AS y1,
+          'w' || doc_id || '_' || k AS text
+   FROM documents CROSS JOIN generate_series(0, 4) AS g(k))
+"""
+
+# masks used by the classify query: header band on top, body below,
+# plus the engine's implicit catch-all pollution mask
+CLS_MASKS = [("header", "header", 0.0, 0.0, 1.0, 0.25, None),
+             ("body", "body", 0.0, 0.25, 1.0, 1.0, None)]
+
+# oracle rendering of the same mask table (priority = order; page NULL)
+CLS_MASKS_SQL = """
+  (SELECT * FROM (VALUES
+     ('header', CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      CAST(1 AS DOUBLE), CAST(25 AS DOUBLE)/100, 0),
+     ('body',   CAST(0 AS DOUBLE), CAST(25 AS DOUBLE)/100,
+      CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), 1),
+     ('pollution', CAST(-10000 AS DOUBLE), CAST(-10000 AS DOUBLE),
+      CAST(10000 AS DOUBLE), CAST(10000 AS DOUBLE), 2))
+   AS m(label, mx0, my0, mx1, my1, priority))
+"""
+
+
+def _derived_lines(spark, sf_dir):
+    """8 one-page lines per doc for the aggregation oracle; constant
+    height 0.1, bottom positions from a closed-form dy pattern that
+    cycles the three separator regimes."""
+    return _docs(spark, sf_dir).select("doc_id").selectExpr(
+        "doc_id", "explode(sequence(0, 7)) AS k",
+    ).selectExpr(
+        "cast(doc_id as string) AS url",
+        "cast(0 as int) AS page_num",
+        "cast(k as int) AS order_idx",
+        "doc_id", "k",
+        "CAST(1 AS DOUBLE)/10 AS x0",
+        "CAST(9 AS DOUBLE)/10 AS x1",
+        # y1(k) = 0.1 + 0.43*floor(k/3) + prefix[k%3], prefix = 0/.05/.18
+        "(CAST(1 AS DOUBLE)/10 + CAST(43 AS DOUBLE)/100 * CAST(floor(k/3) AS"
+        " BIGINT) + CASE WHEN k % 3 = 1 THEN CAST(5 AS DOUBLE)/100"
+        " WHEN k % 3 = 2 THEN CAST(18 AS DOUBLE)/100"
+        " ELSE CAST(0 AS DOUBLE) END) - CAST(1 AS DOUBLE)/10 AS y0",
+        "CAST(1 AS DOUBLE)/10 + CAST(43 AS DOUBLE)/100 * CAST(floor(k/3) AS"
+        " BIGINT) + CASE WHEN k % 3 = 1 THEN CAST(5 AS DOUBLE)/100"
+        " WHEN k % 3 = 2 THEN CAST(18 AS DOUBLE)/100"
+        " ELSE CAST(0 AS DOUBLE) END AS y1",
+        "concat('w', doc_id, '_', k) AS text",
+        "'body' AS label",
+    )
+
+
+DERIVED_LINES_SQL = """
+  (SELECT CAST(doc_id AS VARCHAR) AS url,
+          0 AS page_num, CAST(k AS INTEGER) AS order_idx, doc_id, k,
+          CAST(1 AS DOUBLE)/10 AS x0, CAST(9 AS DOUBLE)/10 AS x1,
+          (CAST(1 AS DOUBLE)/10 + CAST(43 AS DOUBLE)/100
+             * CAST(floor(k/3) AS BIGINT)
+           + CASE WHEN k % 3 = 1 THEN CAST(5 AS DOUBLE)/100
+                  WHEN k % 3 = 2 THEN CAST(18 AS DOUBLE)/100
+                  ELSE CAST(0 AS DOUBLE) END) - CAST(1 AS DOUBLE)/10 AS y0,
+          CAST(1 AS DOUBLE)/10 + CAST(43 AS DOUBLE)/100
+             * CAST(floor(k/3) AS BIGINT)
+          + CASE WHEN k % 3 = 1 THEN CAST(5 AS DOUBLE)/100
+                 WHEN k % 3 = 2 THEN CAST(18 AS DOUBLE)/100
+                 ELSE CAST(0 AS DOUBLE) END AS y1,
+          'w' || doc_id || '_' || k AS text,
+          'body' AS label
+   FROM documents CROSS JOIN generate_series(0, 7) AS g(k))
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pipeline_body_text(spark, sf_dir):
+    """rows-only flagship: fused pipeline over synthetic pages."""
+    pages = synth.pages_spark(spark, N_SYNTH_DOCS, num_partitions=8)
+    out = run_fused(defuse_skew(pages, 8), PIPE_CFG)
+    return out.select("url", "label", "text", "error")
+
+
+def q_extract_blocs(spark, sf_dir):
+    """rows-only: staged extractor output (positions + reading order)."""
+    pages = synth.pages_spark(spark, 60, num_partitions=4)
+    return (blocs(extract(pages))
+            .select("url", "page_num", "order_idx", "x0", "x1", "y0", "y1",
+                    "text"))
+
+
+def q_staged_pipeline(spark, sf_dir):
+    """rows-only: staged extract -> native mask classify -> aggregate
+    (same result as fused; exercises the composable operator path)."""
+    pages = synth.pages_spark(spark, 60, num_partitions=4)
+    ex = extract(pages)
+    lb = mask_classify(blocs(ex),
+                       masks_df(spark, [("body", "body", 0.1, 0.1, 0.9,
+                                         0.9, None)]), threshold=0.1)
+    markers = ex.where("page_num = -1").withColumn(
+        "label", F.lit(None).cast("string"))
+    return (aggregate(lb.unionByName(markers.select(*lb.columns)))
+            .select("url", "label", "text", "error"))
+
+
+def q_mask_classify(spark, sf_dir):
+    lb = mask_classify(_derived_blocs(spark, sf_dir),
+                       masks_df(spark, CLS_MASKS), threshold=0.4)
+    return (lb.select("doc_id", "k", "label")
+            .orderBy("doc_id", "k"))
+
+
+def q_aggregate_lines(spark, sf_dir):
+    agg = aggregate(_derived_lines(spark, sf_dir)
+                    .withColumn("props", F.expr("array()"))
+                    .withColumn("error", F.lit(False)))
+    return agg.select("url", "label", "text")
+
+
+def q_reading_order(spark, sf_dir):
+    """Reading-order kernel over scrambled non-overlapping lines;
+    oracle: row_number by vertical position."""
+    import pandas as pd
+
+    from edspdf_spark.kernels.reading_order import reading_order
+
+    rows = _docs(spark, sf_dir).select("doc_id").selectExpr(
+        "doc_id", "explode(sequence(0, 5)) AS k",
+    ).selectExpr(
+        "doc_id", "k",
+        "CAST((k * 5 + doc_id) % 6 AS DOUBLE) * 15 / 100 AS y0",
+        "CAST((k * 5 + doc_id) % 6 AS DOUBLE) * 15 / 100"
+        " + CAST(1 AS DOUBLE)/10 AS y1",
+    )
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k").reset_index(drop=True)
+        keys = [(0, 0.1, 0.9, r.y0, r.y1) for r in pdf.itertuples()]
+        perm = reading_order(keys)
+        out = pdf.loc[perm, ["doc_id", "k"]].astype("int64").copy()
+        out["ord_pos"] = range(len(out))
+        out["ord_pos"] = out["ord_pos"].astype("int64")
+        return out
+
+    return (rows.groupBy("doc_id")
+            .applyInPandas(per_doc,
+                           schema="doc_id long, k long, ord_pos long"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_corpus_exact(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    sh = shingle_table(_corpus_near(spark, sf_dir), k=3)
+    return jaccard_pairs(sh, threshold=0.5, min_intersect=3)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_corpus_near(spark, sf_dir), k=3, n_hashes=8,
+                             band_size=2, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    fp = simhash(_corpus_near(spark, sf_dir), bits=16)
+    return simhash_near_pairs(fp, bits=16, band_bits=8, max_hamming=3)
+
+
+def q_simsearch_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embed_cosine_pairs(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(101 AS DOUBLE)/100)")
+        .alias("embedding"))
+    corpus = emb.unionByName(scaled)
+    return cosine_bucket_pairs(corpus, threshold=0.98, band_dims=8)
+
+
+def q_text_quality(spark, sf_dir):
+    return text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """rows-only: binary metadata + stubbed feature extraction over
+    synthetic payloads (media libs absent by design)."""
+    pages = synth.pages_spark(spark, 40, num_partitions=4)
+    meta = binary_metadata(pages)
+    feats = extract_features(pages, dim=8).select(
+        "id", F.col("n_bytes").alias("n_bytes_feat"),
+        F.size("feature").alias("feature_dim"))
+    return meta.join(feats, "id").orderBy("id")
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                 .alias("sum_value_milli")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _lineitem(spark, sf_dir)
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    t = F.round(F.col("l_tax") * 100).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_base_price_cents"),
+                 F.sum(cents * (100 - d)).alias("sum_disc_price_c2"),
+                 F.sum(cents * (100 - d) * (100 + t)).alias("sum_charge_c3"),
+                 F.count("*").alias("count_order")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_body_text": q_pipeline_body_text,
+        "extract_blocs": q_extract_blocs,
+        "staged_pipeline": q_staged_pipeline,
+        "mask_classify": q_mask_classify,
+        "aggregate_lines": q_aggregate_lines,
+        "reading_order": q_reading_order,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "simsearch_topk": q_simsearch_topk,
+        "embed_cosine_pairs": q_embed_cosine_pairs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["mask_classify"] = f"""
+WITH blocs AS (SELECT * FROM {DERIVED_BLOCS_SQL} b),
+masks AS (SELECT * FROM {CLS_MASKS_SQL} m),
+scored AS (
+  SELECT b.doc_id, b.k, m.label, m.priority,
+         greatest(least(m.mx1, b.x1) - greatest(m.mx0, b.x0),
+                  CAST(0 AS DOUBLE))
+       * greatest(least(m.my1, b.y1) - greatest(m.my0, b.y0),
+                  CAST(0 AS DOUBLE)) AS overlap,
+         CASE WHEN (m.mx1 - m.mx0) * (m.my1 - m.my0) = 0 THEN CAST(1 AS DOUBLE)
+              ELSE (m.mx1 - m.mx0) * (m.my1 - m.my0) END AS src_area,
+         CASE WHEN (b.x1 - b.x0) * (b.y1 - b.y0) = 0 THEN CAST(1 AS DOUBLE)
+              ELSE (b.x1 - b.x0) * (b.y1 - b.y0) END AS dst_area
+  FROM blocs b CROSS JOIN masks m
+),
+ranked AS (
+  SELECT doc_id, k, label,
+         CASE WHEN overlap / dst_area < CAST(4 AS DOUBLE)/10
+              THEN CAST(0 AS DOUBLE) ELSE overlap / src_area END AS score,
+         priority,
+         row_number() OVER (
+           PARTITION BY doc_id, k
+           ORDER BY (CASE WHEN overlap / dst_area < CAST(4 AS DOUBLE)/10
+                     THEN CAST(0 AS DOUBLE) ELSE overlap / src_area END) DESC,
+                    priority ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, k, label FROM ranked WHERE rk = 1 ORDER BY doc_id, k
+"""
+
+_ORACLES["aggregate_lines"] = f"""
+WITH lines AS (SELECT * FROM {DERIVED_LINES_SQL} l),
+seps AS (
+  SELECT url, label, k, text, y0, y1,
+         lead(y1) OVER w - y1 AS dy,
+         lead(y0) OVER w AS next_y0,
+         lead(k)  OVER w AS next_k
+  FROM lines
+  WINDOW w AS (PARTITION BY url ORDER BY k)
+),
+med AS (
+  SELECT url, median(y1 - y0) AS height FROM lines GROUP BY url
+),
+pieces AS (
+  SELECT s.url, s.label, s.k,
+         s.text || CASE
+           WHEN s.next_k IS NULL THEN ''
+           WHEN s.dy / m.height > CAST(15 AS DOUBLE)/10
+                AND s.next_y0 > s.y1 THEN chr(10) || chr(10)
+           WHEN s.dy / m.height > CAST(2 AS DOUBLE)/10
+                AND s.next_y0 > s.y1 THEN chr(10)
+           ELSE ' ' END AS piece
+  FROM seps s JOIN med m ON s.url = m.url
+)
+SELECT url, label, string_agg(piece, '' ORDER BY k) AS text
+FROM pieces GROUP BY url, label
+"""
+
+_ORACLES["reading_order"] = """
+WITH rows_ AS (
+  SELECT doc_id, k,
+         CAST((k * 5 + doc_id) % 6 AS DOUBLE) * 15 / 100 AS y0
+  FROM documents CROSS JOIN generate_series(0, 5) AS g(k)
+)
+SELECT doc_id, k,
+       row_number() OVER (PARTITION BY doc_id ORDER BY y0) - 1 AS ord_pos
+FROM rows_
+"""
+
+_ORACLES["dedup_exact"] = f"""
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM {CORPUS_EXACT_SQL} corpus
+GROUP BY md5(text)
+"""
+
+_JACCARD_CORE = """
+  sizes AS (SELECT id, count(*) AS sz FROM codes GROUP BY id),
+  inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM codes a JOIN codes b ON a.code = b.code AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= {min_intersect}
+  ),
+  jac AS (
+    SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.id
+    JOIN sizes sb ON i.id_b = sb.id
+  )
+"""
+
+_ORACLES["dedup_jaccard"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+    + ", " + _JACCARD_CORE.format(min_intersect=3)
+    + """
+SELECT id_a, id_b, inter, size_a, size_b, jaccard
+FROM jac WHERE jaccard >= CAST(5 AS DOUBLE)/10
+""")
+
+
+def _minhash_sql(n_hashes: int) -> str:
+    from edspdf_spark.functions import CODE_MOD, MINHASH_AB
+
+    cols = ", ".join(
+        f"min(({a} * (code % {CODE_MOD}) + {b}) % {CODE_MOD}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes]))
+    return f"sigs AS (SELECT id, {cols} FROM codes GROUP BY id)"
+
+
+_BANDS = [list(range(i, i + 2)) for i in range(0, 8, 2)]
+_CAND_UNION = " UNION ".join(
+    "SELECT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b ON "
+    + " AND ".join(f"a.h{j} = b.h{j}" for j in band) + " AND a.id < b.id"
+    for band in _BANDS)
+
+_ORACLES["dedup_minhash_lsh"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+    + ", " + _minhash_sql(8)
+    + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
+    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + """
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= CAST(5 AS DOUBLE)/10
+""")
+
+_SIMHASH_CORE = """
+  toks AS (
+    SELECT DISTINCT doc_id AS id, tok
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS tok
+          FROM {corpus} c)
+  ),
+  tcodes AS (
+    SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tcode FROM toks
+  ),
+  votes AS (
+    SELECT id, b,
+           sum(CASE WHEN (tcode >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM tcodes CROSS JOIN generate_series(0, 15) AS g(b)
+    GROUP BY id, b
+  ),
+  fp AS (
+    SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+    FROM votes GROUP BY id
+  )
+"""
+
+_ORACLES["dedup_simhash"] = (
+    "WITH " + _SIMHASH_CORE.format(corpus="documents").lstrip()
+    + "SELECT id, simhash FROM fp")
+
+_ORACLES["simhash_pairs"] = (
+    "WITH " + _SIMHASH_CORE.format(corpus=CORPUS_NEAR_SQL).lstrip()
+    + """
+, banded AS (SELECT id, simhash, simhash >> 8 AS band FROM fp)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+
+_QUANT_SQL = """
+  q AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+    FROM {src}
+  ),
+  n AS (
+    SELECT id, qv,
+           (SELECT sum(a * a) FROM unnest(qv) AS u(a))::BIGINT AS norm2
+    FROM q
+  )
+"""
+
+_ORACLES["simsearch_topk"] = ("""
+WITH
+""" + _QUANT_SQL.format(src="embeddings") + """,
+qry AS (SELECT id AS query_id, qv AS q_qv, norm2 AS q_norm2
+        FROM n WHERE id % 50 = 0),
+scored AS (
+  SELECT qry.query_id, n.id,
+         (SELECT sum(a * b)
+          FROM (SELECT unnest(n.qv) AS a, unnest(qry.q_qv) AS b) z)::BIGINT
+         AS dot,
+         n.norm2, qry.q_norm2
+  FROM n CROSS JOIN qry WHERE n.id <> qry.query_id
+),
+ranked AS (
+  SELECT query_id, id AS neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(norm2) * sqrt(q_norm2)) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(norm2) * sqrt(q_norm2)) DESC,
+                    id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+""")
+
+_ORACLES["embed_cosine_pairs"] = ("""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> x * CAST(101 AS DOUBLE)/100)
+         AS embedding
+  FROM embeddings
+),
+""" + _QUANT_SQL.format(src="corpus") + """,
+b AS (
+  -- fold acc*2 + (x>=0) over the first 8 dims == sum of bit_i * 2^(8-i)
+  SELECT id, qv, norm2,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> CASE WHEN qv[i] >= 0
+                THEN (1::BIGINT << CAST(8 - i AS INTEGER))
+                ELSE 0::BIGINT END))::BIGINT AS bucket
+  FROM n
+),
+pairs AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         (SELECT sum(a * bb)
+          FROM (SELECT unnest(x.qv) AS a, unnest(y.qv) AS bb) z)::BIGINT
+         AS dot,
+         x.norm2 AS n2_a, y.norm2 AS n2_b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(n2_a) * sqrt(n2_b)) AS cos
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(n2_a) * sqrt(n2_b))
+      >= CAST(98 AS DOUBLE)/100
+""")
+
+_ORACLES["text_quality"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id AS id, n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       (SELECT coalesce(sum(CAST(ceil(length(u.x) / 4.0) AS BIGINT)), 0)
+        FROM unnest(t) AS u(x))::BIGINT AS n_subwords,
+       CAST(len(list_filter(t, x -> x = 'the')) +
+            len(list_filter(t, x -> x = 'a')) +
+            len(list_filter(t, x -> x = 'of')) +
+            len(list_filter(t, x -> x = 'and')) +
+            len(list_filter(t, x -> x = 'to')) AS DOUBLE)
+         / (CASE WHEN len(t) = 0 THEN 1 ELSE len(t) END) AS stopword_ratio,
+       CAST(len(list_distinct(t)) AS DOUBLE)
+         / (CASE WHEN len(t) = 0 THEN 1 ELSE len(t) END) AS ttr
+FROM toks
+"""
+
+
+def _langid_oracle() -> str:
+    from edspdf_spark.operators.analysis import LANG_STOPWORDS
+
+    vote_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        parts = " + ".join(
+            f"len(list_filter(t, x -> x = '{w}'))" for w in words)
+        vote_exprs.append((lang, f"({parts})"))
+    langs = [lang for lang, _ in vote_exprs]
+    best = f"'{langs[0]}'"
+    best_v = vote_exprs[0][1]
+    for lang, v in vote_exprs[1:]:
+        best = f"CASE WHEN {v} > {best_v} THEN '{lang}' ELSE {best} END"
+        best_v = f"CASE WHEN {v} > {best_v} THEN {v} ELSE {best_v} END"
+    votes_sel = ", ".join(
+        f"{v} AS vote_{lang}" for lang, v in vote_exprs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id AS id, {best} AS lang_pred, {votes_sel}
+FROM toks
+"""
+
+
+_ORACLES["lang_id"] = _langid_oracle()
+
+_ORACLES["fingerprint"] = """
+SELECT doc_id AS id, md5(lower(text)) AS content_md5,
+       ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS content_code,
+       length(text) AS n_chars
+FROM documents
+"""
+
+_ORACLES["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000) AS BIGINT))::BIGINT AS sum_value_milli
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+_ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+         AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+         AS sum_disc_price_c2,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT
+         AS sum_charge_c3,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Queries absent here (pipeline_body_text, extract_blocs,
+    staged_pipeline, multimodal_meta) parse PDFs — not expressible in
+    DuckDB; the driver records rows-only checks for them."""
+    return dict(_ORACLES)

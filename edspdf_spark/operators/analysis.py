@@ -1,0 +1,94 @@
+"""Text analysis operators: quality scoring, language-ID, token
+statistics, document fingerprinting.
+
+All native column expressions (no Python workers), each with an exact
+DuckDB-oracle rendering. Portability rules: split on single space
+(no regex dialects), integer arithmetic where possible, md5-prefix
+hashing (functions.code15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions import code15, tokens
+
+# tiny per-language stopword lists for the n-gram-free heuristic;
+# deterministic argmax order = list order here
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+}
+
+
+def _count_token(toks, word: str):
+    return F.size(F.filter(toks, lambda t: t == word))
+
+
+def text_quality(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics: lengths, token stats, stopword ratio,
+    subword estimate (ceil(len/4) per token — a BPE-rate proxy that
+    needs no tokenizer and is engine-portable)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = None
+    for w in LANG_STOPWORDS["en"]:
+        c = _count_token(toks, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    subwords = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct_tokens"),
+        subwords.alias("n_subwords"),
+        (stop_hits / F.when(n_tok == 0, 1).otherwise(n_tok))
+        .alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)) /
+         F.when(n_tok == 0, 1).otherwise(n_tok)).alias("ttr"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID with deterministic tie-break
+    (language list order). Returns (id, lang_pred, vote_<lang>...)."""
+    toks = tokens(F.col(text_col))
+    votes = {}
+    for lang, words in LANG_STOPWORDS.items():
+        v = None
+        for w in words:
+            c = _count_token(toks, w)
+            v = c if v is None else v + c
+        votes[lang] = v
+    langs = list(LANG_STOPWORDS)
+    # argmax with first-wins tie-break, expressed as chained CASE
+    best = F.lit(langs[0])
+    best_v = votes[langs[0]]
+    for lang in langs[1:]:
+        cond = votes[lang] > best_v
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_v = F.when(cond, votes[lang]).otherwise(best_v)
+    cols = [F.col(id_col).alias("id"), best.alias("lang_pred")]
+    cols += [votes[lang].cast("bigint").alias(f"vote_{lang}")
+             for lang in langs]
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, content_md5, content_code, n_chars): cheap identity for
+    lineage + exact-dup joins."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.lower(F.col(text_col))).alias("content_md5"),
+        code15(F.lower(F.col(text_col))).alias("content_code"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )

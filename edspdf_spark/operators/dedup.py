@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed with native DataFrame ops (JVM-side,
+whole-stage codegen; zero Python in the hot path), each designed so a
+DuckDB oracle can reproduce it exactly (portable md5-prefix hashing,
+integer arithmetic only — see functions/__init__.py):
+
+* exact_dedup        — hash-groupBy on md5(text)
+* jaccard_pairs      — word-k-shingle self-join with exact Jaccard
+* minhash_lsh_pairs  — shingle->minhash->band->bucket-join->verify
+* simhash            — n-bit fingerprint from token-hash bit voting
+
+Scale notes (100 TB framing):
+- exact dedup shuffles once on the 15-byte hash, not the text.
+- the shingle self-join's blowup is bounded by document frequency of
+  a shingle; `max_doc_freq` drops stop-shingles (the classic "common
+  shingle" guard) BEFORE the join, which also kills the skew.
+- MinHash/LSH replaces the all-pairs join with per-band equality
+  joins on tiny signatures; candidate verification re-joins the
+  (pruned) shingle sets only for candidate pairs.
+- simhash is a pure map + one groupBy; near-dup lookup joins on the
+  top bits (band) so the pair space never materializes globally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions import (CODE_MOD, MINHASH_AB, code15, minhash_exprs, tokens,
+                         word_shingles)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row per distinct content: (content_md5, keep_id, n_dups)."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  max_doc_freq: Optional[int] = None) -> DataFrame:
+    """(id, shingle_code) rows, one per DISTINCT shingle per doc.
+    max_doc_freq drops shingles appearing in more than that many docs
+    (stop-shingle + skew guard applied before any join)."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(word_shingles(F.col(text_col), k))
+                    .alias("shingle"))
+          .select("id", code15(F.col("shingle")).alias("code")))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("code").agg(F.count("*").alias("_df"))
+        keep = freq.where(F.col("_df") <= max_doc_freq).select("code")
+        sh = sh.join(keep, "code")
+    return sh
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
+                  min_intersect: int = 1) -> DataFrame:
+    """Exact Jaccard over shingle sets: (id_a, id_b, inter, size_a,
+    size_b, jaccard) for pairs with jaccard >= threshold.
+
+    jaccard = inter / (size_a + size_b - inter): integer inputs, so
+    the double division is bit-identical across engines."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("id").alias("id_a"), "code")
+    b = shingles.select(F.col("id").alias("id_b"), "code")
+    inter = (a.join(b, "code")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter"))
+             .where(F.col("inter") >= min_intersect))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("sz", "size_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("sz", "size_b"), "id_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (out.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard"))
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(id, h0..h{n-1}) min-hash signature per document."""
+    return shingles.groupBy("id").agg(*minhash_exprs(F.col("code"), n_hashes))
+
+
+def lsh_candidates(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+    """Candidate pairs sharing at least one full band of the signature.
+    Implemented as per-band equality self-joins (each is a plain
+    shuffle-hash join on a composite key), unioned + distinct."""
+    hs = [c for c in signatures.columns if c.startswith("h")]
+    assert len(hs) % band_size == 0
+    bands = [hs[i:i + band_size] for i in range(0, len(hs), band_size)]
+    out = None
+    for band in bands:
+        a = signatures.select(F.col("id").alias("id_a"),
+                              *[F.col(h).alias(f"_a_{h}") for h in band])
+        b = signatures.select(F.col("id").alias("id_b"),
+                              *[F.col(h).alias(f"_b_{h}") for h in band])
+        cond = [a[f"_a_{h}"] == b[f"_b_{h}"] for h in band]
+        cand = (a.join(b, cond).where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b"))
+        out = cand if out is None else out.unionByName(cand)
+    return out.distinct()
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      n_hashes: int = 8, band_size: int = 2,
+                      threshold: float = 0.5,
+                      max_doc_freq: Optional[int] = None) -> DataFrame:
+    """Full near-dup chain: shingle -> minhash -> LSH bucket join ->
+    exact-Jaccard verification of the candidates only."""
+    sh = shingle_table(df, id_col, text_col, k, max_doc_freq)
+    cand = lsh_candidates(minhash_signatures(sh, n_hashes), band_size)
+    verified = jaccard_pairs(sh, threshold=threshold)
+    return (cand.join(verified, ["id_a", "id_b"])
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(id, simhash) fingerprints: per distinct token, each of the
+    low `bits` bits of the token hash votes +1/-1; fingerprint sets
+    the bits with positive tallies."""
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(F.array_distinct(tokens(F.col(text_col))))
+                     .alias("tok"))
+           .select("id", code15(F.col("tok")).alias("tcode")))
+    bit = (tok.select("id", "tcode",
+                      F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
+                      .alias("b"))
+           .withColumn("vote",
+                       F.expr("CASE WHEN (tcode >> b) & 1 = 1 "
+                              "THEN 1 ELSE -1 END")))
+    tally = bit.groupBy("id", "b").agg(F.sum("vote").alias("s"))
+    fp = (tally.withColumn(
+        "bitval", F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b)"
+                         " ELSE cast(0 as bigint) END"))
+        .groupBy("id").agg(F.sum("bitval").alias("simhash")))
+    return fp
+
+
+def simhash_near_pairs(fingerprints: DataFrame, bits: int = 16,
+                       band_bits: int = 8, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed on the top
+    `band_bits` bits so the pair space stays local to buckets."""
+    banded = fingerprints.withColumn(
+        "band", F.shiftright(F.col("simhash"), bits - band_bits))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "band")
+    return (a.join(b, "band").where(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
