@@ -271,8 +271,7 @@ def q_staged_pipeline(spark, sf_dir):
 def q_mask_classify(spark, sf_dir):
     lb = mask_classify(_derived_blocs(spark, sf_dir),
                        masks_df(spark, CLS_MASKS), threshold=0.4)
-    return (lb.select("doc_id", "k", "label")
-            .orderBy("doc_id", "k"))
+    return lb.select("doc_id", "k", "label")
 
 
 def q_aggregate_lines(spark, sf_dir):
@@ -371,7 +370,7 @@ def q_multimodal_meta(spark, sf_dir):
     feats = extract_features(pages, dim=8).select(
         "id", F.col("n_bytes").alias("n_bytes_feat"),
         F.size("feature").alias("feature_dim"))
-    return meta.join(feats, "id").orderBy("id")
+    return meta.join(feats, "id")
 
 
 def q_events_hourly(spark, sf_dir):

@@ -1,0 +1,135 @@
+"""HTML main-content extraction: boilerplate strip + DOM heuristics.
+
+Dependency-free, deterministic kernel for the Common-Crawl-style HTML
+payloads the north rule targets. The approach is the classic public
+block-scoring family (boilerpipe/jusText-style, reimplemented from
+scratch):
+
+1. lex the byte stream into tags and text (regex tokenizer; contents
+   of script/style/noscript/svg/template are skipped outright)
+2. track a tag stack; any text inside semantic boilerplate containers
+   (nav, header, footer, aside, form, button) is dropped
+3. split remaining text into BLOCKS at block-level tag boundaries
+4. score each block: keep it when its whitespace-normalized text is
+   long enough AND its link density (chars inside <a> / total chars)
+   is below a threshold — short, link-heavy blocks are navigation
+5. join kept blocks with a blank line
+
+Pure Python, doc-local, called from Arrow-batched UDFs only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+_RAWTEXT = {"script", "style", "noscript", "svg", "template"}
+_DROP_CONTAINERS = {"nav", "header", "footer", "aside", "form", "button"}
+_BLOCK_TAGS = {
+    "p", "div", "article", "section", "main", "li", "ul", "ol", "table",
+    "tr", "td", "th", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote",
+    "pre", "br", "hr", "body", "title",
+}
+
+_TAG_RE = re.compile(
+    r"<\s*(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
+    re.S)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DOCTYPE_RE = re.compile(r"<![^>]*>", re.S)
+_WS_RE = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&apos;": "'", "&nbsp;": " ", "&#39;": "'",
+}
+
+
+def _unescape(text: str) -> str:
+    for ent, ch in _ENTITIES.items():
+        text = text.replace(ent, ch)
+    return text
+
+
+def extract_html_text(data: bytes, min_block_chars: int = 30,
+                      max_link_density: float = 0.5) -> Tuple[str, dict]:
+    """bytes -> (main_text, stats). Never raises on malformed HTML —
+    the tokenizer degrades to treating stray '<' as text."""
+    try:
+        html = data.decode("utf-8", errors="replace")
+    except Exception:
+        html = ""
+    html = _COMMENT_RE.sub(" ", html)
+    html = _DOCTYPE_RE.sub(" ", html)
+
+    blocks: List[List[Tuple[str, bool]]] = [[]]  # [(text, inside_link)]
+    drop_depth = 0
+    link_depth = 0
+    raw_skip: Optional[str] = None
+    title = ""
+    in_title = False
+
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos:
+            text = html[pos:m.start()]
+            if raw_skip is None and drop_depth == 0 and text.strip():
+                if in_title:
+                    title += text
+                else:
+                    blocks[-1].append((_unescape(text), link_depth > 0))
+        pos = m.end()
+
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if raw_skip is not None:
+            if closing and name == raw_skip:
+                raw_skip = None
+            continue
+        if name in _RAWTEXT and not closing:
+            raw_skip = name
+            continue
+        if name == "title":
+            in_title = not closing
+            continue
+        if name in _DROP_CONTAINERS:
+            drop_depth += -1 if closing else 1
+            drop_depth = max(0, drop_depth)
+            continue
+        if name == "a":
+            link_depth += -1 if closing else 1
+            link_depth = max(0, link_depth)
+            continue
+        if name in _BLOCK_TAGS and blocks[-1]:
+            blocks.append([])
+
+    if pos < len(html):
+        tail = html[pos:]
+        if raw_skip is None and drop_depth == 0 and tail.strip():
+            blocks[-1].append((_unescape(tail), False))
+
+    kept: List[str] = []
+    n_blocks = 0
+    n_dropped = 0
+    for block in blocks:
+        if not block:
+            continue
+        n_blocks += 1
+        text = _WS_RE.sub(" ", "".join(t for t, _l in block)).strip()
+        if not text:
+            continue
+        link_chars = sum(len(t) for t, is_link in block if is_link)
+        total_chars = sum(len(t) for t, _l in block)
+        density = link_chars / total_chars if total_chars else 1.0
+        if len(text) >= min_block_chars and density <= max_link_density:
+            kept.append(text)
+        else:
+            n_dropped += 1
+
+    stats = {"title": _WS_RE.sub(" ", _unescape(title)).strip(),
+             "n_blocks": n_blocks, "n_dropped": n_dropped}
+    return "\n\n".join(kept), stats
+
+
+def looks_like_html(data: bytes) -> bool:
+    head = data[:256].lstrip().lower()
+    return head.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or \
+        b"<html" in head

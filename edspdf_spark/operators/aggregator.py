@@ -1,29 +1,64 @@
 """Aggregation operator: labeled blocs -> (url, label, text, properties).
 
-`applyInPandas` grouped by url running the exact reference kernel
-(kernels.aggregate, mirroring pipes/aggregators/simple.py:108-173).
-This is the pipeline's ONLY shuffle (group all blocs of a url
-together); the fused pipeline (operators/fused.py) avoids even that
-by never exploding blocs out of the document.
+The exact reference kernel (kernels.aggregate, mirroring
+pipes/aggregators/simple.py:108-173) applied per document. Physical
+strategy: repartition by url + sortWithinPartitions, then ONE
+mapInPandas whose kernel walks url groups inside each Arrow batch,
+buffering groups that span batch boundaries. This is Spark's
+applyInPandas semantics without its per-group overhead (one pandas
+frame per ARROW BATCH instead of one per url — ~100x fewer Python
+round-trips when documents are small).
+
+This is the pipeline's ONLY shuffle (co-locate all blocs of a url);
+the fused pipeline (operators/fused.py) avoids even that by never
+exploding blocs out of the document.
 
 A pure-SQL variant of the separator logic exists (lead() window +
-percentile median + concat) but float/median/ordering parity makes
-the Arrow kernel the correctness-bearing path (SURVEY.md §2.6); the
-SQL form is used as the independent ORACLE in __spark_entry__, not as
-the engine.
+median + concat) but float/median/ordering parity makes the Arrow
+kernel the correctness-bearing path (SURVEY.md §2.6); the SQL form is
+the independent ORACLE in __spark_entry__, not the engine.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+from typing import Dict, Iterator, List, Optional, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
 
 from ..kernels.aggregate import aggregate_doc, to_markdown
 from ..schemas import TEXTS_SCHEMA
 
 LabelMap = Dict[str, Union[str, List[str]]]
+
+_IN_COLS = ["url", "page_num", "order_idx", "x0", "x1", "y0", "y1",
+            "text", "props", "label", "error"]
+_OUT_COLS = ["url", "label", "text", "properties", "error"]
+
+
+def _agg_one(url: str, group: pd.DataFrame, sort, nl, np_, label_map,
+             markdown) -> List[tuple]:
+    error = bool(group["error"].any())
+    body = group[group["page_num"] >= 0]
+    blocs = [{
+        "page_num": int(r.page_num), "x0": float(r.x0), "y0": float(r.y0),
+        "x1": float(r.x1), "y1": float(r.y1), "text": r.text,
+        "label": r.label,
+        "props": [dict(p) if not isinstance(p, dict) else p
+                  for p in (r.props if r.props is not None else [])],
+    } for r in body.itertuples()]
+    out = aggregate_doc(blocs, sort=sort, new_line_threshold=nl,
+                        new_paragraph_threshold=np_, label_map=label_map)
+    rows = []
+    for label, t in out.items():
+        text, props = t["text"], t["properties"]
+        if markdown:
+            text, props = to_markdown(text, props), []
+        rows.append((url, label, text, props, error))
+    if not rows:
+        rows.append((url, None, None, [], error))
+    return rows
 
 
 def aggregate(labeled_blocs: DataFrame, sort: bool = False,
@@ -32,35 +67,35 @@ def aggregate(labeled_blocs: DataFrame, sort: bool = False,
               label_map: Optional[LabelMap] = None,
               markdown: bool = False) -> DataFrame:
     """Group by url and stitch label-wise text. Input needs columns
-    url, page_num, order_idx, x0, y0, y1, text, props, label, error."""
+    url, page_num, order_idx, x0, x1, y0, y1, text, props, label, error."""
+    nl, np_ = new_line_threshold, new_paragraph_threshold
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        error = bool(pdf["error"].any()) if "error" in pdf else False
-        body = pdf[pdf["page_num"] >= 0].sort_values(["page_num", "order_idx"])
-        blocs = [{
-            "page_num": int(r.page_num), "x0": float(r.x0), "y0": float(r.y0),
-            "x1": float(r.x1), "y1": float(r.y1), "text": r.text,
-            "label": r.label,
-            "props": [dict(p) if not isinstance(p, dict) else p
-                      for p in (r.props or [])],
-        } for r in body.itertuples()]
-        out = aggregate_doc(blocs, sort=sort,
-                            new_line_threshold=new_line_threshold,
-                            new_paragraph_threshold=new_paragraph_threshold,
-                            label_map=label_map)
-        rows = []
-        for label, t in out.items():
-            text = t["text"]
-            props = t["properties"]
-            if markdown:
-                text = to_markdown(text, props)
-                props = []
-            rows.append((url, label, text, props, error))
-        if not rows:
-            rows.append((url, None, None, [], error))
-        return pd.DataFrame(rows, columns=["url", "label", "text",
-                                           "properties", "error"])
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tail: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if len(pdf) == 0:
+                continue
+            # the last url may continue into the next Arrow batch
+            last_url = pdf["url"].iloc[-1]
+            is_tail = pdf["url"] == last_url
+            tail = pdf[is_tail]
+            head = pdf[~is_tail]
+            if len(head):
+                yield _process(head)
+        if tail is not None and len(tail):
+            yield _process(tail)
 
-    return labeled_blocs.groupBy("url").applyInPandas(per_doc,
-                                                      schema=TEXTS_SCHEMA)
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: List[tuple] = []
+        for url, group in pdf.groupby("url", sort=False):
+            g = group.sort_values(["page_num", "order_idx"])
+            rows.extend(_agg_one(url, g, sort, nl, np_, label_map, markdown))
+        return pd.DataFrame(rows, columns=_OUT_COLS)
+
+    prepared = (labeled_blocs.select(*_IN_COLS)
+                .repartition(F.col("url"))
+                .sortWithinPartitions("url", "page_num", "order_idx"))
+    return prepared.mapInPandas(fn, schema=TEXTS_SCHEMA)

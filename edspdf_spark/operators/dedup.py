@@ -115,10 +115,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.5,
                       max_doc_freq: Optional[int] = None) -> DataFrame:
     """Full near-dup chain: shingle -> minhash -> LSH bucket join ->
-    exact-Jaccard verification of the candidates only."""
-    sh = shingle_table(df, id_col, text_col, k, max_doc_freq)
-    cand = lsh_candidates(minhash_signatures(sh, n_hashes), band_size)
-    verified = jaccard_pairs(sh, threshold=threshold)
+    exact-Jaccard verification of the candidates only.
+
+    The verification joins only shingles of documents that appear in
+    some candidate pair (leftsemi prune) — at corpus scale the
+    candidate set is orders of magnitude smaller than the corpus, so
+    the expensive shingle self-join never touches non-candidates.
+
+    The shingle table and signatures are persisted: the DAG reuses
+    the shingle table up to 7 times (signature build, one join per
+    LSH band, both sides + sizes of the verification) and Spark would
+    otherwise re-scan and re-hash the corpus for each reuse."""
+    sh = shingle_table(df, id_col, text_col, k, max_doc_freq).persist()
+    sigs = minhash_signatures(sh, n_hashes).persist()
+    cand = lsh_candidates(sigs, band_size)
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh_cand = sh.join(cand_ids, "id", "leftsemi")
+    verified = jaccard_pairs(sh_cand, threshold=threshold)
     return (cand.join(verified, ["id_a", "id_b"])
             .select("id_a", "id_b", "jaccard"))
 

@@ -48,11 +48,14 @@ def metrics_from_fused(fused: DataFrame, run_id: str) -> DataFrame:
 
 def lineage_row(spark: SparkSession, run_id: str, input_desc: str,
                 extra: Optional[dict] = None) -> DataFrame:
-    conf = {
-        "spark.master": spark.conf.get("spark.master", "?"),
-        "spark.sql.shuffle.partitions":
-            spark.conf.get("spark.sql.shuffle.partitions", "?"),
-    }
+    conf = {}
+    for key in ("spark.master", "spark.sql.shuffle.partitions"):
+        # Spark 4 type-checks defaults passed to conf.get for known
+        # configs, so probe without a default
+        try:
+            conf[key] = spark.conf.get(key)
+        except Exception:
+            conf[key] = "unset"
     if extra:
         conf.update({str(k): str(v) for k, v in extra.items()})
     rows = [(run_id, __version__, input_desc,

