@@ -362,6 +362,89 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_html_extract(spark, sf_dir):
+    """rows-only: HTML boilerplate-strip path of the fused pipeline."""
+    pages = synth.pages_spark(spark, 60, num_partitions=4, kind="html")
+    out = run_fused(pages, PIPE_CFG)
+    return out.select("url", "label", "text", "n_blocs")
+
+
+# --- trainable classifier: weights frozen at import on a fixed
+# synthetic training set (independent of sf), embedded as exact double
+# literals in BOTH the Spark expression tree and the DuckDB oracle ---
+
+def _train_frozen_model():
+    import pandas as pd
+
+    rows = []
+    for doc_id in range(500):
+        for k in range(5):
+            x0 = ((doc_id * 7 + k * 13) % 80) / 100.0
+            x1 = x0 + (10 + (doc_id + k) % 10) / 100.0
+            y0 = ((doc_id * 11 + k * 17) % 80) / 100.0
+            y1 = y0 + (5 + (doc_id * 3 + k) % 12) / 100.0
+            rows.append((x0, y0, x1, y1, x1 - x0, y1 - y0,
+                         1.0 if k % 2 == 0 else 0.0,
+                         1.0 if k % 2 == 1 else 0.0,
+                         "header" if y1 < 0.45 else "body"))
+    pdf = pd.DataFrame(rows, columns=["x0", "y0", "x1", "y1", "width",
+                                      "height", "first_page", "last_page",
+                                      "label"])
+    from edspdf_spark.operators.trainable import train
+    return train(pdf, epochs=120)
+
+
+_FROZEN_MODEL = _train_frozen_model()
+
+
+def q_trainable_classify(spark, sf_dir):
+    from edspdf_spark.operators.trainable import classify_native
+
+    feat = (_derived_blocs(spark, sf_dir)
+            .withColumn("width", F.col("x1") - F.col("x0"))
+            .withColumn("height", F.col("y1") - F.col("y0"))
+            .withColumn("first_page",
+                        (F.col("page_num") == 0).cast("double"))
+            .withColumn("last_page",
+                        (F.col("page_num") == 1).cast("double")))
+    return classify_native(feat, _FROZEN_MODEL).select("doc_id", "k", "label")
+
+
+def _trainable_oracle() -> str:
+    from edspdf_spark.operators.trainable import FEATURES
+
+    m = _FROZEN_MODEL
+
+    def score(j: int) -> str:
+        parts = [f"CAST('{m['b'][j]!r}' AS DOUBLE)"]
+        for i, feat in enumerate(FEATURES):
+            parts.append(
+                f"CAST('{m['W'][j][i]!r}' AS DOUBLE) * ((f.{feat} - "
+                f"CAST('{m['mu'][i]!r}' AS DOUBLE)) / "
+                f"CAST('{m['sigma'][i]!r}' AS DOUBLE))")
+        return " + ".join(parts)
+
+    labels = m["labels"]
+    best = f"'{labels[0]}'"
+    best_v = f"s0"
+    sel = ", ".join(f"({score(j)}) AS s{j}" for j in range(len(labels)))
+    for j in range(1, len(labels)):
+        best = f"CASE WHEN s{j} > {best_v} THEN '{labels[j]}' ELSE {best} END"
+        best_v = f"CASE WHEN s{j} > {best_v} THEN s{j} ELSE {best_v} END"
+    return f"""
+WITH f AS (
+  SELECT b.*, b.x1 - b.x0 AS width, b.y1 - b.y0 AS height,
+         CASE WHEN b.page_num = 0 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS first_page,
+         CASE WHEN b.page_num = 1 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS last_page
+  FROM {DERIVED_BLOCS_SQL} b
+),
+scored AS (SELECT doc_id, k, {sel} FROM f)
+SELECT doc_id, k, {best} AS label FROM scored
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """rows-only: binary metadata + stubbed feature extraction over
     synthetic payloads (media libs absent by design)."""
@@ -415,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "html_extract": q_html_extract,
+        "trainable_classify": q_trainable_classify,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -751,8 +836,14 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+_ORACLES["trainable_classify"] = None  # filled lazily (needs _FROZEN_MODEL)
+
+
 def oracle_sql() -> dict[str, str]:
     """Queries absent here (pipeline_body_text, extract_blocs,
-    staged_pipeline, multimodal_meta) parse PDFs — not expressible in
-    DuckDB; the driver records rows-only checks for them."""
-    return dict(_ORACLES)
+    staged_pipeline, multimodal_meta, html_extract) parse PDFs/HTML —
+    not expressible in DuckDB; the driver records rows-only checks
+    for them."""
+    out = dict(_ORACLES)
+    out["trainable_classify"] = _trainable_oracle()
+    return out

@@ -1,0 +1,106 @@
+"""Physical-plan hygiene: the properties that make this engine hold at
+100TB must be visible in explain() — column pruning into the scan,
+broadcast of the mask dim, zero shuffles in the fused path, no Python
+in native operators."""
+
+import pytest
+
+from edspdf_spark import synth
+from edspdf_spark.operators import (PipelineConfig, blocs, extract,
+                                    mask_classify, masks_df, run_fused)
+from edspdf_spark.plans import defuse_skew
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq") / "pages")
+    synth.pages_spark(spark, 20, num_partitions=2).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+CFG = PipelineConfig(masks=[(None, 0.1, 0.9, 0.1, 0.9, "body")],
+                     threshold=0.1)
+
+
+def test_extract_prunes_scan_to_url_html(pages_parquet):
+    """Only (url, html) reach the Python worker; the parquet scan must
+    not read warc_ts/text/lang."""
+    plan = _plan(extract(pages_parquet))
+    scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_line, plan
+    schema = scan_line[0].split("ReadSchema:")[1]
+    assert "url" in schema and "html" in schema
+    assert "warc_ts" not in schema and "lang" not in schema
+
+
+def test_fused_pipeline_has_no_shuffle(pages_parquet):
+    """scan -> mapInArrow -> (sink): zero Exchange nodes."""
+    plan = _plan(run_fused(pages_parquet, CFG))
+    assert "Exchange" not in plan, plan
+
+
+def test_fused_with_salting_has_exactly_one_shuffle(pages_parquet):
+    plan = _plan(run_fused(defuse_skew(pages_parquet, 8), CFG))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_mask_classify_broadcasts_masks(spark, pages_parquet):
+    plan = _plan(mask_classify(blocs(extract(pages_parquet)),
+                               masks_df(spark, [("b", "body", 0.1, 0.1,
+                                                 0.9, 0.9, None)]),
+                               threshold=0.1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+    # overlap math must be columnar, not a Python UDF
+    assert "EvalPython" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark, tmp_path_factory):
+    from edspdf_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    # one hash aggregate with a partial (map-side) phase: two
+    # HashAggregate nodes around exactly one Exchange of the 16-byte key
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "EvalPython" not in plan
+
+
+def test_analysis_ops_are_pythonless(spark):
+    from edspdf_spark.operators.analysis import (fingerprint, lang_id,
+                                                 text_quality)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (text_quality, lang_id, fingerprint):
+        plan = _plan(op(docs))
+        assert "EvalPython" not in plan, (op.__name__, plan)
+        assert "Exchange" not in plan, (op.__name__, plan)  # pure map
+
+
+def test_simsearch_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(brute_force_topk(emb, emb.where(F.col("vec_id") % 50 == 0)))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_filter_pushdown_reaches_scan(pages_parquet):
+    """Catalyst pushes url predicates into the parquet source."""
+    from pyspark.sql import functions as F
+
+    df = pages_parquet.where(F.col("url") > "https://example.org/doc/00000010")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(url), GreaterThan(url," in plan, plan
