@@ -1,0 +1,137 @@
+"""TRUE differential tests: our kernels vs the reference's own code
+(loaded live from /root/reference) on hypothesis-generated documents.
+This is the byte-identity evidence the north rule asks for, on the
+components whose dependencies exist in this environment (alignment,
+mask classification, aggregation, reading order via Box.__lt__).
+"""
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from edspdf_spark.kernels.aggregate import aggregate_doc
+from edspdf_spark.kernels.alignment import align_labels, classify_with_masks
+from edspdf_spark.kernels.reading_order import reading_order
+
+if not os.path.isdir("/root/reference/edspdf"):  # pragma: no cover
+    pytest.skip("reference checkout unavailable", allow_module_level=True)
+
+from tests.reference_loader import load_reference  # noqa: E402
+
+REF = load_reference()
+
+coord = st.floats(min_value=0.0, max_value=1.0, allow_nan=False,
+                  width=64).map(lambda v: round(v, 3))
+
+
+@st.composite
+def ref_doc(draw, max_boxes=8):
+    """A reference PDFDoc with TextBoxes + the same plain-dict blocs."""
+    n = draw(st.integers(1, max_boxes))
+    doc = REF.structures.PDFDoc(content=b"", pages=[])
+    pages = sorted({draw(st.integers(0, 1)) for _ in range(n)} | {0})
+    doc.pages = [REF.structures.Page(doc=doc, page_num=p, width=1, height=1)
+                 for p in pages]
+    boxes, dicts = [], []
+    for i in range(n):
+        x0, x1 = sorted(draw(st.tuples(coord, coord)))
+        y0, y1 = sorted(draw(st.tuples(coord, coord)))
+        page = draw(st.sampled_from(pages))
+        label = draw(st.sampled_from(["body", "header", None]))
+        text = draw(st.sampled_from(["", "word", "two words", f"t{i}"]))
+        boxes.append(REF.structures.TextBox(
+            doc=doc, page_num=page, x0=x0, x1=x1, y0=y0, y1=y1,
+            text=text, label=label))
+        dicts.append({"page_num": page, "x0": x0, "x1": x1, "y0": y0,
+                      "y1": y1, "text": text, "label": label, "props": []})
+    doc.content_boxes = boxes
+    return doc, dicts
+
+
+@settings(max_examples=120, deadline=None)
+@given(dd=ref_doc(), threshold=st.sampled_from([0.0001, 0.4, 0.9, 1.0]),
+       mask=st.tuples(coord, coord, coord, coord))
+def test_mask_classifier_matches_reference(dd, threshold, mask):
+    doc, dicts = dd
+    x0, x1 = sorted(mask[:2])
+    y0, y1 = sorted(mask[2:])
+    ref_cls = REF.mask.MaskClassifier(
+        masks=[REF.structures.Box(label="body", x0=x0, x1=x1, y0=y0, y1=y1)],
+        threshold=threshold)
+    ref_labels = [b.label for b in ref_cls(doc).content_boxes]
+
+    keys = [(d["page_num"], d["x0"], d["x1"], d["y0"], d["y1"])
+            for d in dicts]
+    got = classify_with_masks([(None, x0, x1, y0, y1, "body")], keys,
+                              threshold=threshold)
+    # the reference rebuilds content_boxes page-by-page (ascending);
+    # our labels stay at input positions — compare in page-sorted order
+    order = sorted(range(len(dicts)), key=lambda i: dicts[i]["page_num"])
+    assert [got[i] for i in order] == ref_labels
+
+
+@settings(max_examples=120, deadline=None)
+@given(dd=ref_doc(),
+       sort=st.booleans(),
+       label_map=st.sampled_from([{}, {"text": ["body", "header"]},
+                                  {"body": "body", "meta": ["header"]}]))
+def test_aggregator_matches_reference(dd, sort, label_map):
+    doc, dicts = dd
+    ref_agg = REF.simple.SimpleAggregator(sort=sort, label_map=label_map)
+    # the reference raises ZeroDivisionError when every box has zero
+    # height and sort=True (simple.py:117); faithfulness means we do too
+    try:
+        ref_out = {k: v.text for k, v in ref_agg(doc).aggregated_texts.items()}
+        ref_exc = None
+    except ZeroDivisionError:
+        ref_out, ref_exc = None, ZeroDivisionError
+
+    try:
+        got = aggregate_doc(dicts, sort=sort, label_map=label_map)
+        got_exc = None
+    except ZeroDivisionError:
+        got, got_exc = None, ZeroDivisionError
+
+    assert got_exc == ref_exc
+    if ref_exc is None:
+        got_texts = {k: v["text"] for k, v in got.items()}
+        assert got_texts == ref_out
+
+
+@settings(max_examples=120, deadline=None)
+@given(dd=ref_doc())
+def test_reading_order_matches_reference_sort(dd):
+    doc, dicts = dd
+    ref_sorted = sorted(doc.content_boxes)
+    keys = [(d["page_num"], d["x0"], d["x1"], d["y0"], d["y1"])
+            for d in dicts]
+    perm = reading_order(keys)
+    got = [(dicts[i]["page_num"], dicts[i]["x0"], dicts[i]["x1"],
+            dicts[i]["y0"], dicts[i]["y1"], dicts[i]["text"]) for i in perm]
+    want = [(b.page_num, b.x0, b.x1, b.y0, b.y1, b.text) for b in ref_sorted]
+    assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(dd=ref_doc(), n_masks=st.integers(1, 3),
+       threshold=st.sampled_from([0.1, 0.5]))
+def test_align_box_labels_matches_reference(dd, n_masks, threshold):
+    doc, dicts = dd
+    masks_ref = [REF.structures.Box(label=f"L{i}", x0=0.1 * i, x1=0.4 + 0.2 * i,
+                                    y0=0.05 * i, y1=0.5 + 0.1 * i,
+                                    page_num=None)
+                 for i in range(n_masks)]
+    ref_out = REF.alignment.align_box_labels(masks_ref, doc.content_boxes,
+                                             threshold=threshold,
+                                             pollution_label="none")
+    ref_labels = [b.label for b in ref_out]
+
+    keys = [(d["page_num"], d["x0"], d["x1"], d["y0"], d["y1"])
+            for d in dicts]
+    got = align_labels([(None, 0.1 * i, 0.4 + 0.2 * i, 0.05 * i,
+                         0.5 + 0.1 * i, f"L{i}") for i in range(n_masks)],
+                       keys, threshold=threshold, pollution_label="none")
+    order = sorted(range(len(dicts)), key=lambda i: dicts[i]["page_num"])
+    assert [got[i] for i in order] == ref_labels
