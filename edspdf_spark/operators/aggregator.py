@@ -95,7 +95,12 @@ def aggregate(labeled_blocs: DataFrame, sort: bool = False,
             rows.extend(_agg_one(url, g, sort, nl, np_, label_map, markdown))
         return pd.DataFrame(rows, columns=_OUT_COLS)
 
+    # explicit numPartitions: without it AQE may coalesce this tiny-by-
+    # bytes shuffle to ~1 partition and serialize the (CPU-heavy)
+    # Python stage behind it — shuffle-size heuristics see bytes, not
+    # kernel cost (same trap as plans/salt.py)
+    n_parts = labeled_blocs.sparkSession.sparkContext.defaultParallelism * 2
     prepared = (labeled_blocs.select(*_IN_COLS)
-                .repartition(F.col("url"))
+                .repartition(n_parts, F.col("url"))
                 .sortWithinPartitions("url", "page_num", "order_idx"))
     return prepared.mapInPandas(fn, schema=TEXTS_SCHEMA)
