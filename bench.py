@@ -69,11 +69,16 @@ def main() -> None:
         synth.pages_spark(spark, n_pipeline, num_partitions=CPUS * 2) \
             .write.mode("overwrite").parquet(f"{tmp}/pages")
         pages = spark.read.parquet(f"{tmp}/pages")
-        # full-width warmup: spin up ALL python workers + JIT
+        # full-width warmup: spin up ALL python workers + JIT; then
+        # best-of-2 timed reps (this host shows 2x run-to-run noise)
         _force(run_fused(defuse_skew(pages, CPUS * 2), entry_mod.PIPE_CFG))
-        t0 = time.time()
-        _force(run_fused(defuse_skew(pages, CPUS * 2), entry_mod.PIPE_CFG))
-        pipeline_s = time.time() - t0
+        pipeline_s = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(run_fused(defuse_skew(pages, CPUS * 2),
+                             entry_mod.PIPE_CFG))
+            dt = time.time() - t0
+            pipeline_s = dt if pipeline_s is None else min(pipeline_s, dt)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     timings["pipeline_fused"] = round(pipeline_s, 3)
