@@ -40,12 +40,18 @@ def tokens(text_col) -> Column:
 
 
 def word_shingles(text_col, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array<string>."""
+    """Distinct k-word shingles as an array<string>.
+
+    Documents with fewer than k tokens yield an empty array. (Spark's
+    sequence(0, -1) DESCENDS rather than being empty, so the short-doc
+    case must be guarded explicitly or element_at crashes the job.)"""
     toks = tokens(text_col)
     n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+            idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, (i + j + 1).cast("int"))
                        for j in range(k)]),

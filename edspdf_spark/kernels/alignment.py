@@ -78,6 +78,16 @@ def align_labels(masks: Sequence[Mask], blocs: Sequence[BlocKey],
     """
     out_labels: List[Any] = [None] * len(blocs)
     pages = sorted({b[0] for b in blocs}, key=lambda p: (p is not None, p))
+    if None in {b[0] for b in blocs} and len(pages) > 1:
+        # the reference emits a page_num=None dst box once PER page
+        # group (alignment.py:94-111), duplicating it in the output;
+        # this positional API cannot represent that — refuse loudly
+        # rather than silently keep only the last page's label. The
+        # engine never produces None-page blocs (extractor always sets
+        # page_num), so this guards external callers only.
+        raise NotImplementedError(
+            "page_num=None dst boxes mixed with paged boxes are not "
+            "supported by the positional align_labels API")
     for page in pages:
         idxs = [i for i, b in enumerate(blocs)
                 if page is None or b[0] is None or b[0] == page]

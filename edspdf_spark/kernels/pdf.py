@@ -361,7 +361,6 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
             cur.chars.append((ch, font, True))
         tx += text_width(text, size)
         cur.x1 = max(cur.x1, tx)
-        cur.x0 = min(cur.x0, cur.x0)
         y_lo = min(y_lo, ty + DESCENT * size / 1000.0)
         y_hi = max(y_hi, ty + ASCENT * size / 1000.0)
         cur.y0, cur.y1 = y_lo, y_hi

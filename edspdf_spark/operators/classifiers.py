@@ -69,6 +69,12 @@ def mask_classify(blocs: DataFrame, masks: DataFrame,
         F.col("priority").alias("_m_priority"),
     ))
 
+    # inner join: a bloc whose page matches NO mask row is dropped —
+    # the same behavior as the reference's per-page alignment with an
+    # empty source set (alignment.py:19-20 returns []). This cannot
+    # happen through masks_df(add_catch_all=True) (page_num=None mask
+    # matches everything); with add_catch_all=False the caller opts
+    # into reference drop semantics.
     joined = blocs.join(
         m, F.col("_m_page").isNull() | (F.col("_m_page") == F.col("page_num")),
         "inner")
@@ -101,10 +107,16 @@ def dummy_classify(blocs: DataFrame, label: str = "body") -> DataFrame:
 def random_classify(blocs: DataFrame,
                     labels: Union[List[str], Dict[str, float]],
                     seed: int = 0) -> DataFrame:
-    """Chaos classifier (pipes/classifiers/random.py:37-47): per-doc
-    numpy RNG seeded identically to the reference, drawn in bloc
-    order. Kept as a grouped Arrow kernel because the reference draws
-    one sequence per doc; `rand(seed)` would give a different stream.
+    """Chaos classifier (pipes/classifiers/random.py:37-47).
+
+    The reference draws ONE numpy stream sequentially across documents
+    in processing order — but its own multiprocessing backend returns
+    docs in scheduler-dependent order (multiprocessing.py:761-765), so
+    cross-doc stream parity is ill-defined there. This distributed
+    variant is the deterministic analog: each document gets an
+    independent stream seeded by (seed, xxhash64(url)), identical
+    under any partitioning and parallelism. Per-doc draws use the
+    reference's rng.choice(labels, p=probs, size=n_blocs).
     """
     import numpy as np
     import pandas as pd
@@ -119,7 +131,9 @@ def random_classify(blocs: DataFrame,
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["page_num", "order_idx"])
-        rng = np.random.default_rng(seed=seed)
+        url = str(pdf["url"].iloc[0])
+        doc_key = int.from_bytes(url.encode("utf-8")[-8:] or b"\0", "big")
+        rng = np.random.default_rng(seed=[seed, doc_key])
         pdf = pdf.drop(columns=[c for c in ("label",) if c in pdf.columns])
         pdf["label"] = rng.choice(names, p=probs, size=len(pdf))
         return pdf

@@ -67,19 +67,27 @@ def run_with_checkpoint(pages: DataFrame, cfg: PipelineConfig, out_dir: str,
     for i in range(0, len(todo), buckets_per_job):
         group = todo[i:i + buckets_per_job]
         subset = with_bucket.where(F.col("_bucket").isin(group)).drop("_bucket")
-        fused = run_fused(defuse_skew(subset, num_partitions), cfg)
-        # one physical pass; bucket recomputed on the (tiny) output rows.
-        # dynamic partition overwrite => a re-run bucket REPLACES its
-        # data dir, so an interrupted group can never leave duplicates.
-        out = fused.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
-        (out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "data")))
-        mdf = metrics_from_fused(fused, run_id)
-        (mdf.write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "metrics",
-                                  f"run_{run_id}_g{group[0]}")))
+        # persist: the data write and the metrics rollup are two
+        # actions over the same fused result — without caching, the
+        # second action would re-parse every document in the group
+        fused = run_fused(defuse_skew(subset, num_partitions), cfg).persist()
+        try:
+            # one physical pass; bucket recomputed on the (tiny) output
+            # rows. dynamic partition overwrite => a re-run bucket
+            # REPLACES its data dir, so an interrupted group can never
+            # leave duplicates.
+            out = fused.withColumn("bucket",
+                                   bucket_of(F.col("url"), n_buckets))
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(os.path.join(out_dir, "data")))
+            mdf = metrics_from_fused(fused, run_id)
+            (mdf.write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "metrics",
+                                      f"run_{run_id}_g{group[0]}")))
+        finally:
+            fused.unpersist()
         for b in group:
             with open(_marker_path(out_dir, b) + ".tmp", "w") as f:
                 json.dump({"run_id": run_id, "bucket": b,

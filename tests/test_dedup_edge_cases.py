@@ -1,0 +1,50 @@
+"""Regression: documents with fewer than k tokens must not crash the
+shingle path (Spark's sequence(0,-1) DESCENDS instead of being empty)
+and must agree with the DuckDB oracle's empty-shingle behavior."""
+
+import duckdb
+
+
+def test_short_docs_shingle_pipeline(spark):
+    from edspdf_spark.operators.dedup import (jaccard_pairs,
+                                              minhash_lsh_pairs,
+                                              shingle_table)
+
+    rows = [(0, ""), (1, "hello"), (2, "hello world"),
+            (3, "one two three"), (4, "one two three four"),
+            (5, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_table(df, k=3)
+    got = {(r.id, r.code) for r in sh.collect()}
+    # docs 0-2 produce nothing; 3 has one shingle; 4/5 have two each
+    assert {i for i, _c in got} == {3, 4, 5}
+
+    # doc3's single shingle is contained in docs 4/5 -> jaccard 1/2,
+    # exactly at threshold; (4,5) are identical -> jaccard 1.0
+    jp = jaccard_pairs(sh, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in jp} == {(3, 4), (3, 5), (4, 5)}
+
+    ml = {(r.id_a, r.id_b): r.jaccard
+          for r in minhash_lsh_pairs(df, k=3, threshold=0.5).collect()}
+    assert (4, 5) in ml and ml[(4, 5)] == 1.0
+    assert set(ml) <= {(3, 4), (3, 5), (4, 5)}  # LSH may miss subset pairs
+
+    # DuckDB mini-oracle for the shingle counts
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES (0,''),(1,'hello'),"
+            "(2,'hello world'),(3,'one two three'),"
+            "(4,'one two three four'),(5,'one two three four'))"
+            " v(doc_id, text)")
+    o = con.sql("""
+      WITH toks AS (SELECT doc_id,
+             list_filter(string_split(text,' '), x -> x <> '') t FROM t)
+      SELECT doc_id, count(*) FROM (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(t)-2, 0)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+        FROM toks) GROUP BY doc_id ORDER BY doc_id""").fetchall()
+    want = {r[0]: r[1] for r in o}
+    from collections import Counter
+    got_counts = Counter(i for i, _c in got)
+    assert dict(got_counts) == want
