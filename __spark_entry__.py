@@ -334,6 +334,28 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(fp, bits=16, band_bits=8, max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering: LSH pairs -> connected
+    components -> keep-list over the whole corpus."""
+    from edspdf_spark.operators.components import dedup_keep_list
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, k=3, n_hashes=8, band_size=2,
+                              threshold=0.5)
+    return dedup_keep_list(corpus, pairs)
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary table: doc frequency + total count per token."""
+    from edspdf_spark.functions import tokens
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (tok.groupBy("token")
+            .agg(F.count("*").alias("total_count"),
+                 F.countDistinct("doc_id").alias("doc_freq")))
+
+
 def q_simsearch_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -491,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
+        "vocab_stats": q_vocab_stats,
         "simhash_pairs": q_simhash_pairs,
         "simsearch_topk": q_simsearch_topk,
         "embed_cosine_pairs": q_embed_cosine_pairs,
@@ -638,6 +662,52 @@ SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= CAST(5 AS DOUBLE)/10
 """)
+
+# components over the minhash-verified pairs: recursive reachability,
+# min reachable id per node, singletons keep themselves
+_ORACLES["dedup_components"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+    + ", " + _minhash_sql(8)
+    + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
+    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= CAST(5 AS DOUBLE)/10
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  WITH RECURSIVE r(id, comp) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, r2.comp FROM edges e JOIN r r2 ON e.dst = r2.id
+  )
+  SELECT id, min(comp) AS component FROM r GROUP BY id
+)
+SELECT co.doc_id AS id,
+       coalesce(reach.component, co.doc_id) AS component,
+       co.doc_id = coalesce(reach.component, co.doc_id) AS keep
+FROM """ + CORPUS_NEAR_SQL + """ co
+LEFT JOIN reach ON co.doc_id = reach.id
+""")
+
+_ORACLES["vocab_stats"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+         AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS total_count,
+       count(DISTINCT doc_id)::BIGINT AS doc_freq
+FROM tok GROUP BY token
+"""
 
 _SIMHASH_CORE = """
   toks AS (

@@ -1,0 +1,78 @@
+"""Near-duplicate clustering: connected components over a pair list.
+
+The step after pair detection in a dedup pipeline: group transitive
+near-duplicates and pick one representative (min id) per cluster —
+the keep-list a training-data pipeline actually consumes.
+
+Algorithm: iterative min-label propagation (each node adopts the
+minimum label among itself and its neighbors, repeated to fixpoint).
+Deterministic, shuffle-per-iteration on the EDGE list only; iteration
+count is bounded by the cluster diameter, which for near-dup graphs
+is tiny (dup clusters are near-cliques). For adversarial long-chain
+graphs the classic large-star/small-star variant halves diameters per
+round; chains do not occur in LSH dedup output, so the simple loop is
+the right cost model here.
+
+DuckDB oracle: WITH RECURSIVE reachability, min reachable id per node
+(see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """pairs(id_a, id_b) -> (id, component) where component = min id
+    reachable via pair edges. Nodes appearing in no pair are absent
+    (callers union singletons if needed)."""
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct()
+             .persist())
+    # eager localCheckpoint TRUNCATES lineage each iteration — without
+    # it the per-round join DAG nests and the driver's plan (and any
+    # recompute) grows exponentially with iterations
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges["dst"] == labels["id"])
+                        .groupBy("src")
+                        .agg(F.min("component").alias("n_comp")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["id"] == neighbor_min["src"],
+                                  "left")
+                      .select(labels["id"],
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("n_comp"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(corpus: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, component, keep) over the WHOLE corpus: docs in a cluster
+    keep only the min-id representative; singletons keep themselves."""
+    comp = connected_components(pairs)
+    all_ids = corpus.select(F.col(id_col).alias("id"))
+    labeled = (all_ids.join(comp, "id", "left")
+               .withColumn("component",
+                           F.coalesce(F.col("component"), F.col("id"))))
+    return labeled.withColumn("keep", F.col("id") == F.col("component"))
