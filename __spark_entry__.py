@@ -362,6 +362,81 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+# IVF coarse centroids trained deterministically at import on a fixed
+# synthetic sample (independent of sf; quantized ints — exact in both
+# engines). k=8 cells over 64 dims.
+def _train_centroids():
+    from edspdf_spark.operators.simsearch import kmeans_fit
+
+    sample = [[(((i * 31 + d * 17) % 200) - 100) / 100.0
+               for d in range(64)] for i in range(64)]
+    return kmeans_fit(sample, k=8, iters=15)
+
+
+_IVF_CENTROIDS = _train_centroids()
+
+
+def q_simsearch_ivf(spark, sf_dir):
+    from edspdf_spark.operators.simsearch import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, _IVF_CENTROIDS, k=5)
+
+
+def _ivf_oracle() -> str:
+    cents = _IVF_CENTROIDS
+    k = len(cents)
+    d_cols = []
+    for j, c in enumerate(cents):
+        arr = "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[]"
+        norm2 = int(sum(v * v for v in c))
+        d_cols.append(
+            f"CAST({norm2} AS BIGINT) - 2::BIGINT * list_sum("
+            f"list_transform(generate_series(1, 64), "
+            f"i -> qv[i] * ({arr})[i]))::BIGINT AS d{j}")
+    best_j, best_d = "0", "d0"
+    for j in range(1, k):
+        best_j = f"CASE WHEN d{j} < {best_d} THEN {j} ELSE {best_j} END"
+        best_d = f"CASE WHEN d{j} < {best_d} THEN d{j} ELSE {best_d} END"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT id, qv,
+         (SELECT sum(a * a) FROM unnest(qv) AS u(a))::BIGINT AS norm2
+  FROM q
+),
+dists AS (SELECT id, qv, norm2, {', '.join(d_cols)} FROM n),
+assigned AS (SELECT id, qv, norm2, ({best_j}) AS cell FROM dists),
+qry AS (SELECT id AS query_id, qv AS q_qv, norm2 AS q_norm2, cell
+        FROM assigned WHERE id % 50 = 0),
+scored AS (
+  SELECT qry.query_id, a.id,
+         (SELECT sum(x * y)
+          FROM (SELECT unnest(a.qv) AS x, unnest(qry.q_qv) AS y) z)::BIGINT
+         AS dot,
+         a.norm2, qry.q_norm2
+  FROM assigned a JOIN qry ON a.cell = qry.cell
+  WHERE a.id <> qry.query_id
+),
+ranked AS (
+  SELECT query_id, id AS neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(norm2) * sqrt(q_norm2)) AS cos,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(norm2) * sqrt(q_norm2)) DESC,
+                    id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embed_cosine_pairs(spark, sf_dir):
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     scaled = emb.select(
@@ -517,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "simhash_pairs": q_simhash_pairs,
         "simsearch_topk": q_simsearch_topk,
+        "simsearch_ivf": q_simsearch_ivf,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -907,6 +983,7 @@ GROUP BY l_returnflag, l_linestatus
 
 
 _ORACLES["trainable_classify"] = None  # filled lazily (needs _FROZEN_MODEL)
+_ORACLES["simsearch_ivf"] = None       # filled lazily (needs _IVF_CENTROIDS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -916,4 +993,5 @@ def oracle_sql() -> dict[str, str]:
     for them."""
     out = dict(_ORACLES)
     out["trainable_classify"] = _trainable_oracle()
+    out["simsearch_ivf"] = _ivf_oracle()
     return out

@@ -50,6 +50,76 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rk").alias("rank")))
 
 
+def kmeans_fit(vectors, k: int = 16, iters: int = 20):
+    """Deterministic Lloyd's k-means over a numpy sample (driver-side,
+    like the reference trains off-cluster): init = first k rows,
+    ties/empty cells keep their previous centroid. Returns centroids
+    QUANTIZED to integers (round(x*1000)) so cell assignment is exact
+    integer arithmetic — portable to the DuckDB oracle."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(0)
+    return [[int(v) for v in np.round(c * 1000)] for c in cents]
+
+
+def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
+    """Add `cell` = argmin_j (|c_j|^2 - 2*x.c_j) over quantized ints,
+    first-min-wins tie-break — |x|^2 is constant per row and drops
+    out. Distances land in materialized columns first so the argmin
+    CASE chain references column names, not nested copies of the
+    64-term dot expressions."""
+    out = df
+    for j, c in enumerate(centroids):
+        c_arr = F.array(*[F.lit(int(v)) for v in c])
+        c_norm2 = int(sum(v * v for v in c))
+        out = out.withColumn(
+            f"_d{j}",
+            F.lit(c_norm2).cast("bigint") -
+            F.lit(2).cast("bigint") * int_dot(F.col(qv_col), c_arr))
+    best_j = F.lit(0)
+    best_d = F.col("_d0")
+    for j in range(1, len(centroids)):
+        cond = F.col(f"_d{j}") < best_d
+        best_j = F.when(cond, F.lit(j)).otherwise(best_j)
+        best_d = F.when(cond, F.col(f"_d{j}")).otherwise(best_d)
+    return out.withColumn("cell", best_j).drop(
+        *[f"_d{j}" for j in range(len(centroids))])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
+             k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid cell (native integer argmin), then exact quantized cosine
+    only WITHIN the query's cell. n_probe is effectively 1 — the
+    recall/latency dial is the centroid count; brute_force_topk is the
+    recall=1 baseline. At corpus scale the cell assignment is a pure
+    map and the search join shuffles on the (small-cardinality) cell
+    id instead of broadcasting the corpus."""
+    c = _with_cell(_with_quantized(corpus, id_col, vec_col), centroids)
+    q = (_with_cell(_with_quantized(queries, id_col, vec_col), centroids)
+         .select(F.col("id").alias("query_id"), F.col("qv").alias("q_qv"),
+                 F.col("norm2").alias("q_norm2"), "cell"))
+    scored = (c.join(q, "cell")
+              .where(F.col("id") != F.col("query_id"))
+              .withColumn("dot", int_dot(F.col("qv"), F.col("q_qv")))
+              .withColumn("cos", F.col("dot") /
+                          (F.sqrt(F.col("norm2")) * F.sqrt(F.col("q_norm2")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", F.col("id").alias("neighbor_id"), "cos",
+                    F.col("rk").alias("rank")))
+
+
 def cosine_bucket_pairs(df: DataFrame, threshold: float = 0.9,
                         band_dims: int = 8, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
