@@ -97,6 +97,33 @@ def test_simsearch_broadcasts_queries(spark):
     assert "EvalPython" not in plan
 
 
+def test_ivf_scoring_is_pythonless(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.operators.simsearch import ivf_topk, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = [list(r.embedding) for r in emb.limit(16).collect()]
+    plan = _plan(ivf_topk(emb, emb.where(F.col("vec_id") % 50 == 0),
+                          kmeans_fit(sample, k=4, iters=3)))
+    assert "EvalPython" not in plan  # assignment + dot all codegen
+
+
+def test_connected_components_lineage_is_truncated(spark):
+    """After convergence the result plan must be a checkpoint scan,
+    not a nested join tree (the OOM failure mode)."""
+    from edspdf_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    comp = connected_components(pairs)
+    plan = _plan(comp)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert plan.count("Join") == 0, plan  # lineage truncated
+    got = {(r.id, r.component) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_filter_pushdown_reaches_scan(pages_parquet):
     """Catalyst pushes url predicates into the parquet source."""
     from pyspark.sql import functions as F
