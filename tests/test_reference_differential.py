@@ -114,6 +114,32 @@ def test_reading_order_matches_reference_sort(dd):
     assert got == want
 
 
+def _load_reference_word_shape():
+    """The reference's word_shape lives in a torch-importing module;
+    extract just that function via AST and execute it (differential
+    oracle, nothing copied into this repo)."""
+    import ast
+
+    src = open("/root/reference/edspdf/pipes/embeddings/"
+               "simple_text_embedding.py").read()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "word_shape")
+    ns = {}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"),
+         ns)
+    return ns["word_shape"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_word_shape_matches_reference(s):
+    from edspdf_spark.kernels.textfeatures import word_shape
+
+    ref_word_shape = _load_reference_word_shape()
+    assert word_shape(s) == ref_word_shape(s)
+
+
 @settings(max_examples=80, deadline=None)
 @given(dd=ref_doc(), n_masks=st.integers(1, 3),
        threshold=st.sampled_from([0.1, 0.5]))
