@@ -91,22 +91,25 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 def lsh_candidates(signatures: DataFrame, band_size: int = 2) -> DataFrame:
     """Candidate pairs sharing at least one full band of the signature.
-    Implemented as per-band equality self-joins (each is a plain
-    shuffle-hash join on a composite key), unioned + distinct."""
+
+    One explode to (id, band_key) rows — band_key a struct of
+    (band_idx, v0..v{band_size-1}), the EXACT band values, no hash so
+    no collision risk — then a single self-join on band_key. One
+    shuffle (the second side reuses the first exchange) instead of one
+    join per band; `distinct` collapses pairs sharing several bands.
+    """
     hs = [c for c in signatures.columns if c.startswith("h")]
     assert len(hs) % band_size == 0
     bands = [hs[i:i + band_size] for i in range(0, len(hs), band_size)]
-    out = None
-    for band in bands:
-        a = signatures.select(F.col("id").alias("id_a"),
-                              *[F.col(h).alias(f"_a_{h}") for h in band])
-        b = signatures.select(F.col("id").alias("id_b"),
-                              *[F.col(h).alias(f"_b_{h}") for h in band])
-        cond = [a[f"_a_{h}"] == b[f"_b_{h}"] for h in band]
-        cand = (a.join(b, cond).where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b"))
-        out = cand if out is None else out.unionByName(cand)
-    return out.distinct()
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("b"),
+                 *[F.col(h).alias(f"v{j}") for j, h in enumerate(band)])
+        for i, band in enumerate(bands)])
+    ex = signatures.select("id", F.explode(band_arr).alias("band_key"))
+    a = ex.select(F.col("id").alias("id_a"), "band_key")
+    b = ex.select(F.col("id").alias("id_b"), "band_key")
+    return (a.join(b, "band_key").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -147,18 +150,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      F.explode(F.array_distinct(tokens(F.col(text_col))))
                      .alias("tok"))
            .select("id", code15(F.col("tok")).alias("tcode")))
-    bit = (tok.select("id", "tcode",
-                      F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-                      .alias("b"))
-           .withColumn("vote",
-                       F.expr("CASE WHEN (tcode >> b) & 1 = 1 "
-                              "THEN 1 ELSE -1 END")))
-    tally = bit.groupBy("id", "b").agg(F.sum("vote").alias("s"))
-    fp = (tally.withColumn(
-        "bitval", F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b)"
-                         " ELSE cast(0 as bigint) END"))
-        .groupBy("id").agg(F.sum("bitval").alias("simhash")))
-    return fp
+    # one conditional-sum per bit inside a single groupBy(id): no
+    # tokens-x-bits row blowup, one shuffle with map-side partials.
+    tallies = [F.sum(F.expr(f"CASE WHEN (tcode >> {b}) & 1 = 1 "
+                            "THEN 1 ELSE -1 END")).alias(f"s{b}")
+               for b in range(bits)]
+    tally = tok.groupBy("id").agg(*tallies)
+    fp = None
+    for b in range(bits):
+        term = F.expr(f"CASE WHEN s{b} > 0 THEN cast({1 << b} as bigint) "
+                      "ELSE cast(0 as bigint) END")
+        fp = term if fp is None else fp + term
+    return tally.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(fingerprints: DataFrame, bits: int = 16,
