@@ -362,18 +362,30 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
-# IVF coarse centroids trained deterministically at import on a fixed
-# synthetic sample (independent of sf; quantized ints — exact in both
-# engines). k=8 cells over 64 dims.
-def _train_centroids():
-    from edspdf_spark.operators.simsearch import kmeans_fit
+# IVF coarse centroids trained deterministically on a CORPUS sample
+# (first 512 vectors by vec_id of the sf's own embeddings table —
+# cells must match the data distribution or recall collapses), k=64
+# cells so the search join's shuffle-key cardinality scales with the
+# corpus (~sqrt(N) rule; 8 cells = 8 hot reducers at 100 TB). The
+# quantized-integer centroids make cell assignment exact in both
+# engines.
+IVF_CELLS = 64
+IVF_PROBE = 2
+_IVF_CACHE: dict = {}
 
-    sample = [[(((i * 31 + d * 17) % 200) - 100) / 100.0
-               for d in range(64)] for i in range(64)]
-    return kmeans_fit(sample, k=8, iters=15)
 
+def _train_centroids(sf_dir: str, n_cells: int = IVF_CELLS):
+    key = (sf_dir, n_cells)
+    if key not in _IVF_CACHE:
+        import duckdb
 
-_IVF_CENTROIDS = _train_centroids()
+        from edspdf_spark.operators.simsearch import kmeans_fit
+
+        sample = [r[0] for r in duckdb.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY vec_id LIMIT 512").fetchall()]
+        _IVF_CACHE[key] = kmeans_fit(sample, k=n_cells, iters=10)
+    return _IVF_CACHE[key]
 
 
 def q_simsearch_ivf(spark, sf_dir):
@@ -381,26 +393,21 @@ def q_simsearch_ivf(spark, sf_dir):
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, _IVF_CENTROIDS, k=5)
+    return ivf_topk(emb, queries, _train_centroids(sf_dir), k=5,
+                    n_probe=IVF_PROBE)
 
 
 def _ivf_oracle() -> str:
-    cents = _IVF_CENTROIDS
-    k = len(cents)
-    d_cols = []
-    for j, c in enumerate(cents):
-        arr = "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[]"
-        norm2 = int(sum(v * v for v in c))
-        d_cols.append(
-            f"CAST({norm2} AS BIGINT) - 2::BIGINT * list_sum("
-            f"list_transform(generate_series(1, 64), "
-            f"i -> qv[i] * ({arr})[i]))::BIGINT AS d{j}")
-    best_j, best_d = "0", "d0"
-    for j in range(1, k):
-        best_j = f"CASE WHEN d{j} < {best_d} THEN {j} ELSE {best_j} END"
-        best_d = f"CASE WHEN d{j} < {best_d} THEN d{j} ELSE {best_d} END"
+    # the driver compares at sf0.01 — train on that corpus, mirroring
+    # what q_simsearch_ivf(spark, sf0.01) uses
+    cents = _train_centroids("/root/testdata/sf0.01")
+    rows = ", ".join(
+        f"({j}, {int(sum(v * v for v in c))}::BIGINT, "
+        "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[])"
+        for j, c in enumerate(cents))
     return f"""
-WITH q AS (
+WITH cent(cell_idx, cn2, cv) AS (VALUES {rows}),
+q AS (
   SELECT vec_id AS id,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
@@ -410,10 +417,23 @@ n AS (
          (SELECT sum(a * a) FROM unnest(qv) AS u(a))::BIGINT AS norm2
   FROM q
 ),
-dists AS (SELECT id, qv, norm2, {', '.join(d_cols)} FROM n),
-assigned AS (SELECT id, qv, norm2, ({best_j}) AS cell FROM dists),
-qry AS (SELECT id AS query_id, qv AS q_qv, norm2 AS q_norm2, cell
-        FROM assigned WHERE id % 50 = 0),
+dist AS (
+  SELECT n.id, n.qv, n.norm2, c.cell_idx,
+         c.cn2 - 2::BIGINT * list_sum(
+           list_transform(generate_series(1, 64),
+                          i -> n.qv[i] * c.cv[i]))::BIGINT AS d
+  FROM n CROSS JOIN cent c
+),
+ranked_cells AS (
+  SELECT id, qv, norm2, cell_idx,
+         row_number() OVER (PARTITION BY id ORDER BY d, cell_idx) AS rn
+  FROM dist
+),
+assigned AS (SELECT id, qv, norm2, cell_idx AS cell
+             FROM ranked_cells WHERE rn = 1),
+qry AS (SELECT id AS query_id, qv AS q_qv, norm2 AS q_norm2,
+               cell_idx AS cell
+        FROM ranked_cells WHERE id % 50 = 0 AND rn <= {IVF_PROBE}),
 scored AS (
   SELECT qry.query_id, a.id,
          (SELECT sum(x * y)

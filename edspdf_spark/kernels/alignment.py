@@ -75,6 +75,15 @@ def align_labels(masks: Sequence[Mask], blocs: Sequence[BlocKey],
     page-by-page, alignment.py:94-111), together with that permutation
     being the identity whenever `blocs` is already page-sorted — which is
     always the case downstream of the extractor.
+
+    Documented deviation (empty source masks): when a page has NO
+    applicable mask, the reference's _align_box_labels_on_page returns
+    [] — those dst boxes are silently DROPPED from its output. This
+    positional API must return one label per input bloc, so it assigns
+    pollution_label instead of dropping. The native mask_classify
+    operator implements the reference's drop semantics
+    (operators/classifiers.py); callers needing exact parity for the
+    masks=[] corner should go through that operator.
     """
     out_labels: List[Any] = [None] * len(blocs)
     pages = sorted({b[0] for b in blocs}, key=lambda p: (p is not None, p))

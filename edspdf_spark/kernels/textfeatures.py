@@ -3,11 +3,15 @@
 tokenizer (/root/reference/edspdf/pipes/embeddings/
 simple_text_embedding.py:31-70, 108-113, 198-233).
 
-The torch embedding layers that consume these features are out of
-scope (torch absent); the FEATURES themselves are pure Python and are
-what a Spark featurization stage ships to a scoring UDF. anyascii is
-absent here, so `norm` falls back to plain lowercasing behind an
-import-try (documented deviation; shapes/prefixes/suffixes are exact).
+Feature composition follows the reference preprocess exactly
+(simple_text_embedding.py:214-227): tokens are `m.group(0)` of every
+regex match (whitespace runs included — the sequence LENGTH matches
+the reference), `ascii_str = anyascii(word).strip()` is computed once,
+then shape = word_shape(ascii_str) and prefix/suffix/norm =
+ascii_str.lower() slices. anyascii is absent in this sandbox, so the
+transliteration step falls back to identity behind an import-try:
+features are EXACT for ASCII input; for non-ASCII input they deviate
+only by the missing transliteration (documented deviation).
 """
 
 from __future__ import annotations
@@ -59,24 +63,30 @@ def word_shape(text: str) -> str:
 
 def tokenize_words(text: str) -> List[str]:
     """The reference's word tokenizer: numbers, punctuation, newlines,
-    space runs, and word-ish spans (with trailing apostrophe glue)."""
-    return [m.group(1) for m in WORD_REGEX.finditer(text)]
+    space runs, and word-ish spans (with trailing apostrophe glue).
+    One token per regex match, `m.group(0)` (word + optional trailing
+    whitespace char) exactly as the reference preprocess consumes it
+    (simple_text_embedding.py:214)."""
+    return [m.group(0) for m in WORD_REGEX.finditer(text)]
 
 
 def token_features(token: str) -> Dict[str, str]:
-    """shape / prefix3 / suffix3 / norm for one token
-    (simple_text_embedding.py:198-233 vocabulary features)."""
-    norm = _anyascii(token.lower())
+    """shape / prefix3 / suffix3 / norm for one token, composed as the
+    reference does (simple_text_embedding.py:216-227): transliterate,
+    strip, then derive every feature from the stripped ascii form."""
+    ascii_str = _anyascii(token).strip()
+    lower = ascii_str.lower()
     return {
-        "shape": word_shape(token),
-        "prefix": norm[:3],
-        "suffix": norm[-3:],
-        "norm": norm,
+        "shape": word_shape(ascii_str),
+        "prefix": lower[:3],
+        "suffix": lower[-3:],
+        "norm": lower,
     }
 
 
 def text_token_features(text: str) -> List[Dict[str, str]]:
-    """All tokens of a line, featurized — the per-bloc record a Spark
-    featurization stage emits for the trainable text path."""
-    return [token_features(t) for t in tokenize_words(text)
-            if t.strip() != ""]
+    """All tokens of a line, featurized — one record per regex match
+    (whitespace runs produce empty-string features, exactly like the
+    reference preprocess, so downstream sequence consumers see the
+    same lengths)."""
+    return [token_features(t) for t in tokenize_words(text)]

@@ -23,10 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """pairs(id_a, id_b) -> (id, component) where component = min id
     reachable via pair edges. Nodes appearing in no pair are absent
-    (callers union singletons if needed)."""
+    (callers union singletons if needed).
+
+    Raises RuntimeError if the propagation has not converged after
+    max_iter rounds (component diameter > max_iter) — unconverged
+    labels must never masquerade as a correct keep-list."""
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
@@ -41,6 +45,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
               .withColumn("component", F.col("id"))
               .localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels,
                                    edges["dst"] == labels["id"])
@@ -61,8 +66,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iter or switch to a large-star/small-star variant")
     return labels
 
 

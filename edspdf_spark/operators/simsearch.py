@@ -70,42 +70,62 @@ def kmeans_fit(vectors, k: int = 16, iters: int = 20):
     return [[int(v) for v in np.round(c * 1000)] for c in cents]
 
 
+def _cell_dists(centroids, qv_col="qv"):
+    """Array<struct(d, j)> of squared-distance surrogates to every
+    centroid: d_j = |c_j|^2 - 2*x.c_j over quantized ints (|x|^2 is
+    constant per row and drops out of the argmin). One expression —
+    struct ordering (d first, then j) makes array_min/array_sort the
+    exact first-min-wins argmin, so no per-centroid columns or CASE
+    chains regardless of centroid count."""
+    cent = F.array(*[
+        F.struct(F.lit(int(sum(v * v for v in c))).cast("bigint")
+                 .alias("cn2"),
+                 F.lit(j).alias("j"),
+                 F.array(*[F.lit(int(v)) for v in c]).alias("cv"))
+        for j, c in enumerate(centroids)])
+    return F.transform(
+        cent,
+        lambda s: F.struct(
+            (s["cn2"] - F.lit(2).cast("bigint") *
+             int_dot(F.col(qv_col), s["cv"])).alias("d"),
+            s["j"].alias("j")))
+
+
 def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
-    """Add `cell` = argmin_j (|c_j|^2 - 2*x.c_j) over quantized ints,
-    first-min-wins tie-break — |x|^2 is constant per row and drops
-    out. Distances land in materialized columns first so the argmin
-    CASE chain references column names, not nested copies of the
-    64-term dot expressions."""
-    out = df
-    for j, c in enumerate(centroids):
-        c_arr = F.array(*[F.lit(int(v)) for v in c])
-        c_norm2 = int(sum(v * v for v in c))
-        out = out.withColumn(
-            f"_d{j}",
-            F.lit(c_norm2).cast("bigint") -
-            F.lit(2).cast("bigint") * int_dot(F.col(qv_col), c_arr))
-    best_j = F.lit(0)
-    best_d = F.col("_d0")
-    for j in range(1, len(centroids)):
-        cond = F.col(f"_d{j}") < best_d
-        best_j = F.when(cond, F.lit(j)).otherwise(best_j)
-        best_d = F.when(cond, F.col(f"_d{j}")).otherwise(best_d)
-    return out.withColumn("cell", best_j).drop(
-        *[f"_d{j}" for j in range(len(centroids))])
+    """Add `cell` = argmin_j d_j (smallest-j tie-break)."""
+    return df.withColumn("cell",
+                         F.array_min(_cell_dists(centroids, qv_col))["j"])
+
+
+def _with_probes(df: DataFrame, centroids, n_probe: int,
+                 qv_col="qv") -> DataFrame:
+    """Add `cell` (exploded): the n_probe nearest centroid cells, for
+    the query side of an IVF search."""
+    probes = F.slice(F.array_sort(_cell_dists(centroids, qv_col)),
+                     1, n_probe)
+    return df.withColumn("cell",
+                         F.explode(F.transform(probes, lambda s: s["j"])))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
-             k: int = 5, id_col: str = "vec_id",
+             k: int = 5, n_probe: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest coarse
-    centroid cell (native integer argmin), then exact quantized cosine
-    only WITHIN the query's cell. n_probe is effectively 1 — the
-    recall/latency dial is the centroid count; brute_force_topk is the
-    recall=1 baseline. At corpus scale the cell assignment is a pure
-    map and the search join shuffles on the (small-cardinality) cell
-    id instead of broadcasting the corpus."""
+    """IVF-style ANN: assign every corpus vector to its nearest coarse
+    centroid cell (native integer argmin, pure map), probe each
+    query's n_probe nearest cells, exact quantized cosine only within
+    probed cells. brute_force_topk is the recall=1 baseline.
+
+    Scale shape (100 TB framing): the search join shuffles the corpus
+    on the cell id, so centroid count must scale with the corpus
+    (~sqrt(N) cells keeps both the shuffle-key cardinality and the
+    per-cell candidate list healthy; 8 cells would mean 8 hot
+    reducers). Centroids should be trained on a corpus sample
+    (kmeans_fit), not synthetic points — recall depends on the cells
+    matching the data distribution. n_probe is the recall dial that
+    does not touch the partitioning."""
     c = _with_cell(_with_quantized(corpus, id_col, vec_col), centroids)
-    q = (_with_cell(_with_quantized(queries, id_col, vec_col), centroids)
+    q = (_with_probes(_with_quantized(queries, id_col, vec_col), centroids,
+                      n_probe)
          .select(F.col("id").alias("query_id"), F.col("qv").alias("q_qv"),
                  F.col("norm2").alias("q_norm2"), "cell"))
     scored = (c.join(q, "cell")

@@ -161,3 +161,81 @@ def test_align_box_labels_matches_reference(dd, n_masks, threshold):
                        keys, threshold=threshold, pollution_label="none")
     order = sorted(range(len(dicts)), key=lambda i: dicts[i]["page_num"])
     assert [got[i] for i in order] == ref_labels
+
+
+def _load_reference_text_preprocess():
+    """Execute the reference's SimpleTextEmbedding.preprocess with its
+    OWN word_regex and word_shape (AST-extracted; torch/vocabulary
+    statements filtered out, vocab encode stubbed to identity so the
+    raw feature strings come back). Differential oracle for the full
+    tokenize->anyascii->strip->shape/prefix/suffix/norm composition."""
+    import ast
+    import types
+
+    import regex as regex_mod
+
+    src = open("/root/reference/edspdf/pipes/embeddings/"
+               "simple_text_embedding.py").read()
+    tree = ast.parse(src)
+    ws = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "word_shape")
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef)
+               and n.name == "SimpleTextEmbedding")
+    init = next(n for n in cls.body
+                if isinstance(n, ast.FunctionDef) and n.name == "__init__")
+    pre = next(n for n in cls.body
+               if isinstance(n, ast.FunctionDef) and n.name == "preprocess")
+
+    try:  # match the kernel's documented fallback when anyascii absent
+        from anyascii import anyascii
+    except Exception:
+        def anyascii(s):
+            return s
+
+    ns = {"regex": regex_mod, "anyascii": anyascii,
+          "PDFDoc": object}  # annotation-only name in preprocess
+    exec(compile(ast.Module(body=[ws], type_ignores=[]), "<ref>", "exec"), ns)
+
+    class _Voc:
+        def encode(self, v):
+            return v
+
+    self_obj = types.SimpleNamespace(shape_voc=_Voc(), prefix_voc=_Voc(),
+                                     suffix_voc=_Voc(), norm_voc=_Voc())
+    # run only the regex-building assignments from __init__
+    keep = []
+    for s in init.body:
+        if not isinstance(s, ast.Assign):
+            continue
+        t = s.targets[0]
+        if (isinstance(t, ast.Name)
+                and t.id in ("punct", "num_like", "default")) or \
+           (isinstance(t, ast.Attribute) and t.attr == "word_regex"):
+            keep.append(s)
+    local = {"self": self_obj}
+    exec(compile(ast.Module(body=keep, type_ignores=[]), "<ref>", "exec"),
+         ns, local)
+    exec(compile(ast.Module(body=[pre], type_ignores=[]), "<ref>", "exec"),
+         ns, local)
+    return self_obj, local["preprocess"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts=st.lists(st.text(max_size=60), min_size=1, max_size=4))
+def test_token_features_match_reference_preprocess(texts):
+    import types
+
+    from edspdf_spark.kernels.textfeatures import text_token_features
+
+    self_obj, ref_preprocess = _load_reference_text_preprocess()
+    boxes = [types.SimpleNamespace(text=t) for t in texts]
+    doc = types.SimpleNamespace(
+        pages=[types.SimpleNamespace(text_boxes=boxes)])
+    ref = ref_preprocess(self_obj, doc)
+    for i, t in enumerate(texts):
+        feats = text_token_features(t)
+        assert [f["shape"] for f in feats] == ref["tokens_shape"][0][i]
+        assert [f["prefix"] for f in feats] == ref["tokens_prefix"][0][i]
+        assert [f["suffix"] for f in feats] == ref["tokens_suffix"][0][i]
+        assert [f["norm"] for f in feats] == ref["tokens_norm"][0][i]

@@ -58,3 +58,60 @@ def test_ivf_every_query_gets_results(spark, emb):
     n_q = queries.count()
     got = out.select("query_id").distinct().count()
     assert got == n_q  # every cell is populated with 2 coarse cells
+
+
+def test_ivf_production_config_recall_and_probe_dial(spark, emb):
+    """The contract query's config: 64 corpus-sampled cells, n_probe=2.
+    The synthetic embeddings are near-uniform random (no cluster
+    structure), so absolute recall is bounded — but with 2/64 of the
+    corpus probed (~3% random baseline) recall must beat random by an
+    order of magnitude, and n_probe must be a monotone recall dial."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cents = e._train_centroids(SF)
+    assert len(cents) == 64
+
+    truth = brute_force_topk(emb, queries, k=5).toPandas()
+    t = {(r.query_id, r.neighbor_id) for r in truth.itertuples()}
+
+    def recall(n_probe):
+        a = ivf_topk(emb, queries, cents, k=5, n_probe=n_probe).toPandas()
+        s = {(r.query_id, r.neighbor_id) for r in a.itertuples()}
+        return len(t & s) / len(t)
+
+    r2 = recall(2)
+    assert r2 >= 0.25, r2          # ~8x the 3% random-probe baseline
+    assert recall(8) >= r2         # more probes never hurt recall
+
+
+def test_ivf_search_join_shuffles_on_cell(spark, emb):
+    """The scale property the cell count buys: the search join's
+    exchange partitions on the cell id (cardinality = n_cells, not 8),
+    and the whole plan stays Python-free."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cents = e._train_centroids(SF)
+
+    # small query set: AQE broadcasts it — zero corpus shuffle
+    df = ivf_topk(emb, queries, cents, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [cell" in plan \
+        or "hashpartitioning(cell" in plan, plan
+    assert "EvalPython" not in plan
+
+    # large query set (broadcast disabled): the join must partition on
+    # the cell id — 64-way, not 8 hot reducers
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = ivf_topk(emb, queries, cents, k=5, n_probe=2)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(cell" in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

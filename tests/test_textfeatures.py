@@ -31,8 +31,11 @@ def test_word_shape_run_semantics():
 
 def test_tokenizer_reference_patterns():
     toks = tokenize_words("Let's up the stakes, 12.5 now\nplease")
-    assert "12.5" in toks          # num_like keeps decimal separator
-    assert "," in toks             # punctuation split off
+    # group(0) tokens may carry one trailing whitespace char (exactly
+    # what the reference preprocess consumes) — compare stripped
+    stripped = [t.strip() for t in toks]
+    assert "12.5" in stripped      # num_like keeps decimal separator
+    assert "," in stripped         # punctuation split off
     assert "\n" in toks            # newline is its own token
     # apostrophe glue: "Let's" keeps the ' attached to the word span
     assert any(t.startswith("Let") for t in toks)
