@@ -3,7 +3,10 @@
 This environment has no ``pdfminer.six``, so the engine carries its own
 parser for a strict, deterministic subset of PDF 1.4:
 
-* uncompressed content streams, fixed object layout, no timestamps/IDs
+* content streams raw or FlateDecode-compressed (stdlib zlib — the
+  single most common real-PDF stream filter); stream bytes are sliced
+  by the dict's /Length from the full file, so binary stream content
+  containing ``endobj``/``endstream`` byte runs cannot derail parsing
 * text shown with ``BT .. Tf/Tm/Td/TD/TL/T* .. Tj/TJ .. ET``
 * monospaced metrics (CHAR_WIDTH=600/1000 em for every glyph) so that
   writer and parser agree on glyph advances by construction
@@ -22,6 +25,7 @@ kernel invoked from Arrow-batched UDFs.
 from __future__ import annotations
 
 import re
+import zlib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -87,11 +91,14 @@ def _esc(s: str) -> str:
 
 
 def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
-              page_height: float = PAGE_HEIGHT) -> bytes:
+              page_height: float = PAGE_HEIGHT,
+              compress: bool = False) -> bytes:
     """Serialize pages of Lines into deterministic PDF bytes.
 
     Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4, then for each
     page two objects (Page, Contents). Offsets in the xref are exact.
+    With ``compress=True`` content streams are FlateDecode (zlib level
+    6 — deterministic), exercising the parser's compressed path.
     """
     n_pages = len(pages)
     font_objs = list(FONTS.items())  # 4 fonts -> objects 3..6
@@ -115,13 +122,17 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
     )
     for i, lines in enumerate(pages):
         content = _content_stream(lines)
+        filt = ""
+        if compress:
+            content = zlib.compress(content, 6)
+            filt = " /Filter /FlateDecode"
         page_dict = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_width:g} "
             f"{page_height:g}] /Resources << /Font << {font_res} >> >> "
             f"/Contents {page_obj_ids[i] + 1} 0 R >>"
         ).encode()
         stream_obj = (
-            f"<< /Length {len(content)} >>\nstream\n".encode()
+            f"<< /Length {len(content)}{filt} >>\nstream\n".encode()
             + content
             + b"\nendstream"
         )
@@ -185,7 +196,9 @@ class ParsedPage:
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_ENDSTREAM_RE = re.compile(rb"(\r\n|\n|\r)?endstream")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
@@ -210,6 +223,46 @@ _STR_ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",
 }
+
+
+def _stream_for_obj(data: bytes, oid: int) -> bytes:
+    """Stream bytes of object `oid`, located in the FULL file bytes
+    (binary/compressed stream content may contain `endobj` byte runs,
+    so the regex-scanned object body cannot be trusted for streams).
+    Slices by the dict's direct /Length when present (free-form
+    whitespace tolerated), else falls back to the endstream keyword;
+    inflates when /Filter names FlateDecode."""
+    hm = re.search(rb"(?<!\d)" + str(oid).encode() + rb"\s+0\s+obj\b", data)
+    if hm is None:
+        raise PdfParseError(f"dangling contents ref {oid}")
+    sm = _STREAM_KW_RE.search(data, hm.end())
+    if sm is None:
+        raise PdfParseError("contents without stream")
+    dict_part = data[hm.end():sm.start()]
+    body_start = sm.end()
+    lm = _LENGTH_RE.search(dict_part)
+    if lm:
+        n = int(lm.group(1))
+        if body_start + n > len(data):
+            raise PdfParseError("stream /Length beyond end of file")
+        body = data[body_start:body_start + n]
+        if not _ENDSTREAM_RE.match(data, body_start + n):
+            raise PdfParseError("stream /Length does not reach endstream")
+    else:  # indirect or absent /Length: scan (uncompressed subset only)
+        em = data.find(b"endstream", body_start)
+        if em < 0:
+            raise PdfParseError("unterminated stream")
+        body = data[body_start:em]
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith(b"\n") or body.endswith(b"\r"):
+            body = body[:-1]
+    if b"/FlateDecode" in dict_part:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error as exc:
+            raise PdfParseError(f"bad FlateDecode stream: {exc}")
+    return body
 
 
 def _decode_pdf_string(raw: bytes) -> str:
@@ -308,14 +361,9 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
         cm = _CONTENTS_RE.search(body)
         lines: List[ParsedLine] = []
         if cm:
-            cobj = objs.get(int(cm.group(1)))
-            if cobj is None:
-                raise PdfParseError("dangling contents ref")
-            sm = _STREAM_RE.search(cobj)
-            if sm is None:
-                raise PdfParseError("contents without stream")
+            stream = _stream_for_obj(data, int(cm.group(1)))
             lines = _run_content(
-                sm.group(1),
+                stream,
                 {tag: fonts_by_obj.get(oid, "Unknown") for tag, oid in font_res.items()},
             )
         pages.append(ParsedPage(page_num=page_num, width=width, height=height,

@@ -15,6 +15,8 @@ Per-doc recipe (seed = doc index i, no RNG state shared across docs):
 * every 7th doc: bold and italic spans (style path)
 * every 13th doc: truncated bytes -> extractor must yield error=true
 * every 17th doc: oversized (max pages, 30+ lines/page) for skew tests
+* every 5th doc (i%5==2): FlateDecode-compressed content streams —
+  the compressed-parse path runs inside every e2e pipeline
 """
 
 from __future__ import annotations
@@ -98,7 +100,7 @@ def make_pdf_bytes(i: int) -> bytes:
             text=f"footer {i % 100}", size=8.0))
         pages.append(lines)
 
-    data = build_pdf(pages)
+    data = build_pdf(pages, compress=(i % 5) == 2)
     if (i % 13) == 0 and i > 0:
         return data[:100]  # deliberately corrupt
     return data

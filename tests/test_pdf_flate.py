@@ -1,0 +1,177 @@
+"""FlateDecode (compressed content-stream) parser coverage.
+
+Mirrors the reference golden-corpus structure
+(/root/reference/tests/pipes/extractors/blocks_ground_truth.py +
+test_pdfminer.py): a frozen list of expected blocs per fixture, checked
+field-by-field — but over this engine's own deterministic fixtures
+(kernels/pdf.py writer), since pdfminer.six and its test PDFs cannot
+run in this sandbox. Compressed and raw streams must parse to
+BIT-IDENTICAL blocs (the north rule's byte-identical-text invariant
+must not depend on the stream filter).
+"""
+
+import hashlib
+import re
+import zlib
+
+import pytest
+
+from edspdf_spark.kernels.extract import extract_doc
+from edspdf_spark.kernels.pdf import (Line, PdfParseError, Segment,
+                                      _stream_for_obj, build_pdf, parse_pdf)
+from edspdf_spark import synth
+
+
+def _fixture_pages():
+    """Pages exercising every writer feature: multi-font styled runs,
+    escapes, multiple pages, small/large sizes."""
+    return [
+        [Line.simple(72, 700, "Hello compressed world", size=12),
+         Line(x=72, y=650, segments=[
+             Segment(text="plain ", size=10),
+             Segment(text="bold", font="Helvetica-Bold", size=10),
+             Segment(text=" ital", font="Helvetica-Italic", size=10)]),
+         Line.simple(72, 600, r"parens (x) and \slash", size=10)],
+        [Line.simple(100, 500, "page two body", size=10),
+         Line.simple(100, 40, "footer 2", size=8)],
+    ]
+
+
+def _blocs_tuple(res):
+    return [(b["page_num"], b["x0"], b["x1"], b["y0"], b["y1"], b["text"])
+            for b in res["blocs"]]
+
+
+# ---------------------------------------------------------------------------
+# compressed == raw, bit-identical
+# ---------------------------------------------------------------------------
+
+def test_flate_roundtrip_bit_identical():
+    pages = _fixture_pages()
+    raw = build_pdf(pages, compress=False)
+    comp = build_pdf(pages, compress=True)
+    assert b"/FlateDecode" in comp and b"/FlateDecode" not in raw
+    a, b = extract_doc(raw, extract_style=True), extract_doc(comp, extract_style=True)
+    assert a == b
+    assert not a["error"] and a["num_pages"] == 2
+
+
+@pytest.mark.parametrize("i", [0, 1, 2, 3, 5, 7, 12, 17, 22, 34, 51, 100])
+def test_flate_synth_corpus_bit_identical(i, monkeypatch):
+    """Every synth recipe branch (styled/oversized/corrupt/footer) parses
+    identically whether or not its content streams are deflated."""
+    orig = build_pdf
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(synth, "build_pdf",
+                            lambda pages, _f=flag, **kw: orig(pages, compress=_f))
+        outs[flag] = extract_doc(synth.make_pdf_bytes(i))
+    assert outs[False] == outs[True]
+
+
+def test_synth_corpus_contains_compressed_docs():
+    # every 5th doc (i % 5 == 2) ships FlateDecode streams
+    assert b"/FlateDecode" in synth.make_pdf_bytes(2)
+    assert b"/FlateDecode" in synth.make_pdf_bytes(7)  # styled AND compressed
+    assert b"/FlateDecode" not in synth.make_pdf_bytes(1)
+
+
+# ---------------------------------------------------------------------------
+# frozen golden blocs (reference blocks_ground_truth.py structure)
+# ---------------------------------------------------------------------------
+
+# extract_doc(make_pdf_bytes(2)) — doc 2 is compressed in the corpus.
+# Values frozen from the deterministic generator; regenerate only if the
+# synth recipe or the monospaced font model deliberately changes.
+DOC2_HEAD_BLOCS = [
+    (0, 0.12, 0.3356862745098039, 0.052525252525252516, 0.06515151515151519,
+     "Page 1 of doc 00000002"),
+    (0, 0.16, 0.43450980392156866, 0.15000000000000002, 0.1626262626262627,
+     "sort body window line column"),
+    (0, 0.18, 0.5231372549019608, 0.15631313131313135, 0.16893939393939397,
+     "join page spark column table header"),
+    (0, 0.2, 0.32745098039215687, 0.17272727272727273, 0.18535353535353535,
+     "hash row scan"),
+    (0, 0.12, 0.34549019607843137, 0.17398989898989898, 0.1866161616161616,
+     "value scan batch window"),
+    (0, 0.14, 0.4635294117647059, 0.20555555555555557, 0.2181818181818182,
+     "stream vector header extract scan"),
+]
+DOC2_BLOCS_MD5 = "7f18fc1a96f3a010b6756e502999a372"
+
+
+def test_golden_blocs_doc2_compressed():
+    res = extract_doc(synth.make_pdf_bytes(2))
+    assert not res["error"]
+    assert res["num_pages"] == 3
+    assert len(res["blocs"]) == 24
+    got = _blocs_tuple(res)
+    for exp, g in zip(DOC2_HEAD_BLOCS, got):
+        assert g[0] == exp[0] and g[5] == exp[5]
+        for k in range(1, 5):
+            assert g[k] == pytest.approx(exp[k], abs=1e-12)
+    assert hashlib.md5(repr(got).encode()).hexdigest() == DOC2_BLOCS_MD5
+
+
+# ---------------------------------------------------------------------------
+# error paths
+# ---------------------------------------------------------------------------
+
+def test_flate_corrupt_stream_raises():
+    comp = build_pdf(_fixture_pages(), compress=True)
+    # flip bytes inside the first compressed stream body
+    m = re.search(rb"stream\r?\n", comp)
+    start = m.end()
+    bad = comp[:start + 4] + bytes(b ^ 0xFF for b in comp[start + 4:start + 8]) \
+        + comp[start + 8:]
+    with pytest.raises(PdfParseError, match="FlateDecode"):
+        parse_pdf(bad)
+    assert extract_doc(bad) == {"error": True, "num_pages": 0,
+                                "pages": [], "blocs": []}
+
+
+def test_flate_length_beyond_eof_raises():
+    comp = build_pdf(_fixture_pages(), compress=True)
+    bad = re.sub(rb"/Length (\d+) /Filter",
+                 lambda m: b"/Length %d /Filter" % (int(m.group(1)) + 10 ** 6),
+                 comp, count=1)
+    with pytest.raises(PdfParseError):
+        parse_pdf(bad)
+
+
+def test_stream_sliced_by_length_survives_binary_keywords():
+    """Stream bodies are sliced by /Length from the FULL file bytes, so
+    binary content containing `endstream`/`endobj` byte runs must not
+    derail parsing (the reason the old regex scan was replaced)."""
+    body = b"q Q % " + b"endstream endobj " * 3 + b"\nBT /F1 10 Tf ET"
+    blob = (b"%PDF-1.4\n7 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    assert _stream_for_obj(blob, 7) == body
+    # compressed variant: deflated bytes that *contain* `endstream`
+    comp = zlib.compress(body, 6)
+    blob2 = (b"%PDF-1.4\n7 0 obj\n<< /Length " + str(len(comp)).encode()
+             + b" /Filter /FlateDecode >>\nstream\n" + comp
+             + b"\nendstream\nendobj\n")
+    assert _stream_for_obj(blob2, 7) == body
+
+
+def test_stream_without_length_falls_back_to_endstream_scan():
+    body = b"BT /F1 10 Tf ET"
+    blob = (b"%PDF-1.4\n3 0 obj\n<< >>\nstream\n" + body
+            + b"\nendstream\nendobj\n")
+    assert _stream_for_obj(blob, 3) == body
+
+
+def test_flate_inside_spark_pipeline(spark):
+    """Compressed docs flow through the fused Spark pipeline: the
+    compressed doc parses error-free and yields non-empty body text."""
+    from edspdf_spark.operators import PipelineConfig, run_fused
+    from edspdf_spark.sources.readers import from_iterable
+
+    cfg = PipelineConfig(masks=[(None, 0.0, 1.0, 0.0, 1.0, "body")],
+                         threshold=0.1)
+    rows = [("u2", synth.make_pdf_bytes(2)), ("u1", synth.make_pdf_bytes(1))]
+    out = run_fused(from_iterable(spark, rows), cfg) \
+        .where("label = 'body'").orderBy("url").collect()
+    assert [r["url"] for r in out] == ["u1", "u2"]
+    assert all((not r["error"]) and len(r["text"]) > 0 for r in out)
