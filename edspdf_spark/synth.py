@@ -69,13 +69,22 @@ def make_pdf_bytes(i: int) -> bytes:
         #   0.5 / 0.1 -> lines overlap vertically          -> " "
         #   1.3       -> disjoint, 0.2 < dy/h <= 1.5       -> "\n"
         #   2.5       -> disjoint, dy/h > 1.5              -> "\n\n"
+        # Layouts are INVERSION-FREE under the reference Box.__lt__
+        # relation (generation order == reading order, making the e2e
+        # output closed-form SQL-derivable): a line that vertically
+        # overlaps its predecessor (dy mult 0.5/0.1) copies the
+        # predecessor's x and word count, which bounds the shrunk-box
+        # width ratio below the horizontal-disjointness threshold; the
+        # ambiguous-order cases stay covered by the reading-order
+        # kernel's differential tests.
         y_top = 0.15
         dy_mults = [1.3, 2.5, 0.5, 1.3, 0.1, 2.5, 1.3]
         h_norm = LINE_H / PAGE_HEIGHT
         for k in range(n_body):
-            x_norm = 0.12 + 0.02 * ((i + k) % 5)
+            src = k - 1 if k > 0 and dy_mults[(i + k - 1) % 7] < 1.0 else k
+            x_norm = 0.12 + 0.02 * ((i + src) % 5)
             baseline = PAGE_HEIGHT * (1 - y_top) - LINE_H * 0.8
-            n_words = 3 + ((i + p + k) % 4)
+            n_words = 3 + ((i + p + src) % 4)
             if styled and k == 1:
                 segs = [
                     Segment(text=_words(i, p, k, 2) + " ", size=SIZE),
@@ -91,8 +100,11 @@ def make_pdf_bytes(i: int) -> bytes:
                                          text=_words(i, p, k, n_words),
                                          size=SIZE))
             y_top += dy_mults[(i + k) % len(dy_mults)] * h_norm
-            if y_top > 0.70:
-                y_top = 0.15 + 0.003 * ((k + 1) % 3)
+            # guard only (never fires: 34 lines * mean dy 1.36 * h stays
+            # under 0.88) — a y reset would re-enter already-covered
+            # vertical space and break the inversion-free property
+            if y_top > 0.88:
+                y_top = 0.88
         # footer near y=0.95
         lines.append(Line.simple(
             x=0.40 * PAGE_WIDTH,

@@ -84,20 +84,20 @@ def test_synth_corpus_contains_compressed_docs():
 # Values frozen from the deterministic generator; regenerate only if the
 # synth recipe or the monospaced font model deliberately changes.
 DOC2_HEAD_BLOCS = [
-    (0, 0.12, 0.3356862745098039, 0.052525252525252516, 0.06515151515151519,
+    (0, 0.12, 0.33568627450980393, 0.05252525252525253, 0.06515151515151518,
      "Page 1 of doc 00000002"),
-    (0, 0.16, 0.43450980392156866, 0.15000000000000002, 0.1626262626262627,
+    (0, 0.16, 0.4345098039215686, 0.1499999999999999, 0.16262626262626256,
      "sort body window line column"),
-    (0, 0.18, 0.5231372549019608, 0.15631313131313135, 0.16893939393939397,
-     "join page spark column table header"),
-    (0, 0.2, 0.32745098039215687, 0.17272727272727273, 0.18535353535353535,
+    (0, 0.16, 0.4345098039215686, 0.1563131313131313, 0.16893939393939383,
+     "join page spark column table"),
+    (0, 0.2, 0.32745098039215687, 0.17272727272727262, 0.18535353535353527,
      "hash row scan"),
-    (0, 0.12, 0.34549019607843137, 0.17398989898989898, 0.1866161616161616,
-     "value scan batch window"),
-    (0, 0.14, 0.4635294117647059, 0.20555555555555557, 0.2181818181818182,
+    (0, 0.2, 0.3568627450980392, 0.17398989898989892, 0.18661616161616157,
+     "value scan batch"),
+    (0, 0.14, 0.4635294117647059, 0.2055555555555555, 0.21818181818181814,
      "stream vector header extract scan"),
 ]
-DOC2_BLOCS_MD5 = "7f18fc1a96f3a010b6756e502999a372"
+DOC2_BLOCS_MD5 = "c7b98dd4fcbfbbe4e255b69b9d12a51f"
 
 
 def test_golden_blocs_doc2_compressed():
@@ -111,6 +111,29 @@ def test_golden_blocs_doc2_compressed():
         for k in range(1, 5):
             assert g[k] == pytest.approx(exp[k], abs=1e-12)
     assert hashlib.md5(repr(got).encode()).hexdigest() == DOC2_BLOCS_MD5
+
+
+def test_synth_corpus_inversion_free():
+    """The synth layouts are inversion-free under the reference
+    Box.__lt__ relation: generation order IS reading order (Timsort
+    identity), which is what makes the e2e pipeline output derivable
+    in closed-form SQL for the DuckDB oracles. Any synth change that
+    reintroduces an inversion silently un-oracles the flagship."""
+    from edspdf_spark.kernels.pdf import parse_pdf
+    from edspdf_spark.kernels.reading_order import box_lt
+
+    for i in list(range(40)) + [85, 119, 170, 238, 999]:  # incl. 17x, 7x, 5x
+        try:
+            parsed = parse_pdf(synth.make_pdf_bytes(i))
+        except PdfParseError:
+            continue  # corrupt-by-design docs
+        for page in parsed:
+            w, h = page.width, page.height
+            keys = [(page.page_num, ln.x0 / w, ln.x1 / w,
+                     1 - ln.y1 / h, 1 - ln.y0 / h) for ln in page.lines]
+            for a in range(len(keys)):
+                for b in range(a + 1, len(keys)):
+                    assert not box_lt(keys[b], keys[a]), (i, page.page_num, a, b)
 
 
 # ---------------------------------------------------------------------------
