@@ -5,11 +5,15 @@ pipeline over a deterministic synthetic Common-Crawl-style pages
 table sized from sf0.001.
 
 `queries()` / `oracle_sql()` — one entry per implemented operator
-(SURVEY.md §2 + the training-data operator suite). Queries marked
-`rows-only` have no SQL-expressible oracle (PDF parsing in DuckDB);
-everything else carries an exact DuckDB oracle: all shared math uses
-engine-portable constructions (md5-prefix BIGINT hashes, integer
-arithmetic, quantized dot products) so value hashes match bit-for-bit.
+(SURVEY.md §2 + the training-data operator suite). Every query except
+multimodal_meta carries an exact DuckDB oracle — including the full
+PDF/HTML parse pipelines, whose expected output is derived in closed
+form from the synth generator formulas (the corpus is constructed
+inversion-free under the reading-order relation, so generation order
+is reading order). All shared math uses engine-portable constructions
+(md5-prefix BIGINT hashes, integer arithmetic, quantized dot products,
+verbatim float op order, printf('%g') write->read round-trips) so
+value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -236,18 +240,298 @@ DERIVED_LINES_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# closed-form oracle for the synthetic PDF corpus: the synth recipe
+# (edspdf_spark/synth.py) is deterministic and, by construction,
+# INVERSION-FREE under the reference reading-order relation
+# (structures.py:197-234) — generation order IS reading order — so the
+# whole parse -> extract -> classify -> aggregate chain is derivable in
+# pure SQL. Every float op transcribes the Python op order verbatim
+# (CAST(n AS DOUBLE)/d fractions, %g write->read round-trip via
+# printf('%g')::DOUBLE — DuckDB's printf is C-%g-compatible, verified
+# against Python's format(x,'g') on every serialized value).
+# ---------------------------------------------------------------------------
+
+def _fr(n: int, d: int) -> str:
+    return f"(CAST({n} AS DOUBLE)/{d})"
+
+
+_VOCAB_SQL = ("['data','table','query','spark','scan','batch','merge','row',"
+              "'column','filter','window','group','sort','join','hash',"
+              "'value','stream','vector','page','line','text','body',"
+              "'header','extract']")
+
+
+def _synth_pdf_cte(n_docs: int) -> str:
+    """WITH RECURSIVE chain reproducing extract_doc over make_pdf_bytes
+    for doc indices 0..n_docs-1: CTE `labeled` has one row per kept bloc
+    (i, p, seq, order_idx, x0, x1, y0, y1, text, label)."""
+    return f"""
+WITH RECURSIVE
+gooddocs AS (
+  SELECT i FROM generate_series(0, {n_docs - 1}) g(i)
+  WHERE NOT (i % 13 = 0 AND i > 0)
+),
+-- y_top recurrence (synth.py walk; identical on every page of a doc)
+ytop(i, k, y) AS (
+  SELECT i, 0, {_fr(15, 100)} FROM gooddocs
+  UNION ALL
+  SELECT i, k + 1,
+         y + ([{_fr(13,10)}, {_fr(25,10)}, {_fr(5,10)}, {_fr(13,10)},
+               {_fr(1,10)}, {_fr(25,10)}, {_fr(13,10)}][((i + k) % 7) + 1]
+              * ({_fr(10,1)} / CAST(792 AS DOUBLE)))
+  FROM ytop WHERE k < 33
+),
+pagespec AS (
+  SELECT i, p,
+         CASE WHEN i % 17 = 0 AND i > 0 THEN 34 ELSE 3 + ((i * 7 + p) % 6) END
+           AS n_body
+  FROM gooddocs CROSS JOIN generate_series(0, 2) gp(p)
+  WHERE p < (CASE WHEN i % 17 = 0 AND i > 0 THEN 3 ELSE 1 + (i % 3) END)
+),
+-- src = predecessor for overlap lines (the inversion-free copy rule)
+bodyline AS (
+  SELECT i, p, k,
+         CASE WHEN k > 0 AND ((i + k - 1) % 7) IN (2, 4) THEN k - 1 ELSE k END
+           AS src,
+         (i % 7 = 0 AND k = 1) AS styled
+  FROM pagespec CROSS JOIN generate_series(0, 33) gk(k)
+  WHERE k < n_body
+),
+wordneed AS (
+  SELECT i, p, k AS kk, 3 + ((i + p + src) % 4) AS n
+  FROM bodyline WHERE NOT styled
+  UNION ALL SELECT i, p, 1, 2 FROM bodyline WHERE styled
+  UNION ALL SELECT i, p, 51, 1 FROM bodyline WHERE styled
+  UNION ALL SELECT i, p, 91, 1 FROM bodyline WHERE styled
+),
+-- the synth word LCG: state walks (s*1103515245+12345) & 0x7FFFFFFF
+wst(i, p, kk, n, j, st) AS (
+  SELECT i, p, kk, n, 0,
+         (i * 1000003 + p * 10007 + kk * 101 + 17) & 2147483647
+  FROM wordneed
+  UNION ALL
+  SELECT i, p, kk, n, j + 1, (st * 1103515245 + 12345) & 2147483647
+  FROM wst WHERE j < n
+),
+wordrun AS (
+  SELECT i, p, kk,
+         string_agg({_VOCAB_SQL}[(st % 24) + 1], ' ' ORDER BY j) AS w
+  FROM wst WHERE j >= 1 GROUP BY i, p, kk
+),
+-- physical lines: header (seq 0), body (seq 1+k), footer (seq 1000)
+lines AS (
+  SELECT i, p, 0 AS seq,
+         ({_fr(12,100)}) * 612 AS x,
+         792 * (1 - {_fr(5,100)}) - 10 AS y,
+         {_fr(10,1)} AS sz,
+         'Page ' || CAST(p + 1 AS VARCHAR) || ' of doc ' ||
+           lpad(CAST(i AS VARCHAR), 8, '0') AS text,
+         NULL AS seg_lens
+  FROM pagespec
+  UNION ALL
+  SELECT b.i, b.p, 1 + b.k,
+         ({_fr(12,100)} + {_fr(2,100)} * ((b.i + b.src) % 5)) * 612,
+         792 * (1 - y.y) - 10 * {_fr(8,10)},
+         {_fr(10,1)},
+         CASE WHEN b.styled THEN w1.w || ' ' || w51.w || ' ' || w91.w
+              ELSE wn.w END,
+         CASE WHEN b.styled
+              THEN [length(w1.w) + 1, length(w51.w), length(w91.w) + 1]
+              ELSE NULL END
+  FROM bodyline b
+  JOIN ytop y ON y.i = b.i AND y.k = b.k
+  LEFT JOIN wordrun wn ON NOT b.styled AND wn.i = b.i AND wn.p = b.p
+       AND wn.kk = b.k
+  LEFT JOIN wordrun w1 ON b.styled AND w1.i = b.i AND w1.p = b.p AND w1.kk = 1
+  LEFT JOIN wordrun w51 ON b.styled AND w51.i = b.i AND w51.p = b.p
+       AND w51.kk = 51
+  LEFT JOIN wordrun w91 ON b.styled AND w91.i = b.i AND w91.p = b.p
+       AND w91.kk = 91
+  UNION ALL
+  SELECT i, p, 1000,
+         ({_fr(40,100)}) * 612,
+         792 * (1 - {_fr(95,100)}) - 10 * {_fr(2,10)},
+         {_fr(8,1)},
+         'footer ' || CAST(i % 100 AS VARCHAR),
+         NULL
+  FROM pagespec
+),
+-- writer %g serialization -> parser read-back + monospaced advance
+parsed AS (
+  SELECT i, p, seq, text, sz,
+         CAST(printf('%g', x) AS DOUBLE) AS x0p,
+         CAST(printf('%g', y) AS DOUBLE) AS yb,
+         CASE WHEN seg_lens IS NULL
+              THEN CAST(printf('%g', x) AS DOUBLE)
+                   + (CAST(length(text) * 600 AS DOUBLE) * sz) / 1000
+              ELSE ((CAST(printf('%g', x) AS DOUBLE)
+                   + (CAST(seg_lens[1] * 600 AS DOUBLE) * sz) / 1000)
+                   + (CAST(seg_lens[2] * 600 AS DOUBLE) * sz) / 1000)
+                   + (CAST(seg_lens[3] * 600 AS DOUBLE) * sz) / 1000
+         END AS x1p
+  FROM lines
+),
+-- pdfminer-style normalization (extract.py:75-83) + in-bounds filter
+kept AS (
+  SELECT i, p, seq, text,
+         x0p / CAST(612 AS DOUBLE) AS x0,
+         x1p / CAST(612 AS DOUBLE) AS x1,
+         1 - (yb + (800 * sz) / 1000) / CAST(792 AS DOUBLE) AS y0,
+         1 - (yb + (-200 * sz) / 1000) / CAST(792 AS DOUBLE) AS y1
+  FROM parsed
+  WHERE x0p / CAST(612 AS DOUBLE) >= 0
+    AND 1 - (yb + (800 * sz) / 1000) / CAST(792 AS DOUBLE) >= 0
+    AND x1p / CAST(612 AS DOUBLE) <= 1
+    AND 1 - (yb + (-200 * sz) / 1000) / CAST(792 AS DOUBLE) <= 1
+),
+-- mask classification (alignment.py math, body mask + catch-all)
+labeled AS (
+  SELECT i, p, seq, text, x0, x1, y0, y1,
+         row_number() OVER (PARTITION BY i ORDER BY p, seq) - 1 AS order_idx,
+         CASE WHEN sb >= sp THEN 'body' ELSE 'pollution' END AS label
+  FROM (
+    SELECT *,
+      CASE WHEN ovl / dst0 < {_fr(1,10)} THEN CAST(0 AS DOUBLE)
+           ELSE ovl / (({_fr(9,10)} - {_fr(1,10)})
+                       * ({_fr(9,10)} - {_fr(1,10)})) END AS sb,
+      CASE WHEN dst / dst0 < {_fr(1,10)} THEN CAST(0 AS DOUBLE)
+           ELSE dst / (CAST(20000 AS DOUBLE) * CAST(20000 AS DOUBLE)) END AS sp
+    FROM (
+      SELECT *,
+        greatest(least({_fr(9,10)}, x1) - greatest({_fr(1,10)}, x0),
+                 CAST(0 AS DOUBLE))
+        * greatest(least({_fr(9,10)}, y1) - greatest({_fr(1,10)}, y0),
+                   CAST(0 AS DOUBLE)) AS ovl,
+        (x1 - x0) * (y1 - y0) AS dst,
+        CASE WHEN (x1 - x0) * (y1 - y0) = 0 THEN CAST(1 AS DOUBLE)
+             ELSE (x1 - x0) * (y1 - y0) END AS dst0
+      FROM kept
+    )
+  )
+)
+"""
+
+
+def _synth_pipeline_oracle(n_docs: int) -> str:
+    """Full fused/staged pipeline oracle: (url, label, text, error)."""
+    return _synth_pdf_cte(n_docs) + f""",
+-- SimpleAggregator (simple.py:139-166): numpy-median height + strict->
+medi AS (
+  SELECT i, label, y1 - y0 AS h,
+         row_number() OVER (PARTITION BY i, label ORDER BY y1 - y0) AS rn,
+         count(*) OVER (PARTITION BY i, label) AS cnt
+  FROM labeled
+),
+med AS (
+  SELECT i, label,
+         CASE WHEN cnt % 2 = 1
+              THEN max(CASE WHEN rn = (cnt + 1) // 2 THEN h END)
+              ELSE (max(CASE WHEN rn = cnt // 2 THEN h END)
+                    + max(CASE WHEN rn = cnt // 2 + 1 THEN h END)) / 2
+         END AS med_h
+  FROM medi GROUP BY i, label, cnt
+),
+seps AS (
+  SELECT l.i, l.label, l.order_idx, l.text,
+         lead(l.y0) OVER w AS ny0,
+         lead(l.y1) OVER w AS ny1,
+         lead(l.p) OVER w AS np,
+         l.p, l.y0, l.y1, m.med_h
+  FROM labeled l JOIN med m ON m.i = l.i AND m.label = l.label
+  WINDOW w AS (PARTITION BY l.i, l.label ORDER BY l.order_idx)
+),
+agged AS (
+  SELECT i, label,
+         string_agg(
+           text || CASE
+             WHEN np IS NULL THEN ''
+             WHEN np <> p THEN chr(10) || chr(10)
+             WHEN (ny1 - y1) / med_h > {_fr(15,10)} AND ny0 > y1
+               THEN chr(10) || chr(10)
+             WHEN (ny1 - y1) / med_h > {_fr(2,10)} AND ny0 > y1
+               THEN chr(10)
+             ELSE ' ' END,
+           '' ORDER BY order_idx) AS text
+  FROM seps GROUP BY i, label
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       label, text, FALSE AS error
+FROM agged
+UNION ALL
+SELECT 'https://example.org/doc/' || lpad(CAST(i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       '' AS label, '' AS text, TRUE AS error
+FROM generate_series(0, {n_docs - 1}) g(i) WHERE i % 13 = 0 AND i > 0
+"""
+
+
+def _synth_blocs_oracle(n_docs: int) -> str:
+    """Extractor-output oracle: one row per kept bloc in reading order."""
+    return _synth_pdf_cte(n_docs) + """
+SELECT 'https://example.org/doc/' || lpad(CAST(i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       CAST(p AS INTEGER) AS page_num,
+       CAST(order_idx AS INTEGER) AS order_idx,
+       x0, x1, y0, y1, text
+FROM labeled
+"""
+
+
+def _synth_html_oracle(n_docs: int) -> str:
+    """HTML boilerplate-strip oracle: kept <p> blocks joined by blank
+    lines (kernels/html.py over synth.synth_html_bytes)."""
+    return f"""
+WITH RECURSIVE
+docs AS (SELECT i, 3 + (i % 4) AS n_paras
+         FROM generate_series(0, {n_docs - 1}) g(i)),
+paras AS (
+  SELECT i, k FROM docs CROSS JOIN generate_series(0, 6) gk(k)
+  WHERE k < n_paras
+),
+wst(i, kk, j, st) AS (
+  SELECT i, 10 + k, 0,
+         (i * 1000003 + 0 * 10007 + (10 + k) * 101 + 17) & 2147483647
+  FROM paras
+  UNION ALL
+  SELECT i, kk, j + 1, (st * 1103515245 + 12345) & 2147483647
+  FROM wst WHERE j < 12
+),
+wordrun AS (
+  SELECT i, kk,
+         string_agg({_VOCAB_SQL}[(st % 24) + 1], ' ' ORDER BY j) AS w
+  FROM wst WHERE j >= 1 GROUP BY i, kk
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(d.i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       'body' AS label,
+       string_agg(w.w || '.', chr(10) || chr(10) ORDER BY w.kk) AS text,
+       CAST(d.n_paras AS INTEGER) AS n_blocs
+FROM docs d JOIN wordrun w ON w.i = d.i
+GROUP BY d.i, d.n_paras
+"""
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
 def q_pipeline_body_text(spark, sf_dir):
-    """rows-only flagship: fused pipeline over synthetic pages."""
+    """Flagship: fused pipeline over synthetic pages; hash-checked
+    against the closed-form pipeline oracle."""
     pages = synth.pages_spark(spark, N_SYNTH_DOCS, num_partitions=8)
     out = run_fused(defuse_skew(pages, 8), PIPE_CFG)
-    return out.select("url", "label", "text", "error")
+    # NULL label/text (error docs) -> '' so the value-hash compare is
+    # engine-portable (NULL vs NaN canonicalization differs)
+    return out.select("url",
+                      F.coalesce("label", F.lit("")).alias("label"),
+                      F.coalesce("text", F.lit("")).alias("text"),
+                      "error")
 
 
 def q_extract_blocs(spark, sf_dir):
-    """rows-only: staged extractor output (positions + reading order)."""
+    """Staged extractor output (positions + reading order); hash-checked
+    against the closed-form bloc oracle."""
     pages = synth.pages_spark(spark, 60, num_partitions=4)
     return (blocs(extract(pages))
             .select("url", "page_num", "order_idx", "x0", "x1", "y0", "y1",
@@ -255,7 +539,7 @@ def q_extract_blocs(spark, sf_dir):
 
 
 def q_staged_pipeline(spark, sf_dir):
-    """rows-only: staged extract -> native mask classify -> aggregate
+    """Staged extract -> native mask classify -> aggregate
     (same result as fused; exercises the composable operator path)."""
     pages = synth.pages_spark(spark, 60, num_partitions=4)
     ex = extract(pages)
@@ -265,7 +549,10 @@ def q_staged_pipeline(spark, sf_dir):
     markers = ex.where("page_num = -1").withColumn(
         "label", F.lit(None).cast("string"))
     return (aggregate(lb.unionByName(markers.select(*lb.columns)))
-            .select("url", "label", "text", "error"))
+            .select("url",
+                    F.coalesce("label", F.lit("")).alias("label"),
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    "error"))
 
 
 def q_mask_classify(spark, sf_dir):
@@ -480,7 +767,8 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_html_extract(spark, sf_dir):
-    """rows-only: HTML boilerplate-strip path of the fused pipeline."""
+    """HTML boilerplate-strip path of the fused pipeline; hash-checked
+    against the closed-form paragraph oracle."""
     pages = synth.pages_spark(spark, 60, num_partitions=4, kind="html")
     out = run_fused(pages, PIPE_CFG)
     return out.select("url", "label", "text", "n_blocs")
@@ -1005,12 +1293,19 @@ GROUP BY l_returnflag, l_linestatus
 _ORACLES["trainable_classify"] = None  # filled lazily (needs _FROZEN_MODEL)
 _ORACLES["simsearch_ivf"] = None       # filled lazily (needs _IVF_CENTROIDS)
 
+# the flagship parse->classify->aggregate chain, derived in closed form
+# from the synth generator formulas (see _synth_pdf_cte)
+_ORACLES["pipeline_body_text"] = _synth_pipeline_oracle(N_SYNTH_DOCS)
+_ORACLES["staged_pipeline"] = _synth_pipeline_oracle(60)
+_ORACLES["extract_blocs"] = _synth_blocs_oracle(60)
+_ORACLES["html_extract"] = _synth_html_oracle(60)
+
 
 def oracle_sql() -> dict[str, str]:
-    """Queries absent here (pipeline_body_text, extract_blocs,
-    staged_pipeline, multimodal_meta, html_extract) parse PDFs/HTML —
-    not expressible in DuckDB; the driver records rows-only checks
-    for them."""
+    """The only query absent here is multimodal_meta (binary payload
+    sniffing — not expressible in DuckDB; the driver records a
+    rows-only check for it). Everything else, including the full
+    PDF/HTML parse pipelines, carries an exact closed-form oracle."""
     out = dict(_ORACLES)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
