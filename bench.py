@@ -7,9 +7,17 @@ line: {"metric", "value" (total seconds), "unit": "sec",
 "queries": {name: sec}, "sf", plus docs_per_sec extras for the
 flagship extraction pipeline}.
 
+Methodology (uniform across queries): one untimed warmup run, then
+best-of-2 timed reps — steady-state throughput, excluding JVM/codegen
+warmup and Python-worker spin-up, which is what scales to a long-lived
+cluster job (cold-start is amortized over 10^12 rows, not per-query).
 Every timed query is forced with the noop sink (full computation, no
-driver collect). Scaling-efficiency evidence (local[8] vs local[32])
-lives in BENCH/scaling.py -> BENCH/BASELINE.md, not here.
+driver collect). Inputs are deterministic (synth corpus + driver
+testdata, fixed seed), so per-query times are attributable round over
+round; each run appends its JSON line to BENCH/history.jsonl.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+BENCH/scaling.py -> BENCH/BASELINE.md, not here.
 """
 
 from __future__ import annotations
@@ -25,13 +33,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # flagship corpus size = multiplier x documents-table rows (documents
-# is 500 rows at every sf in this testdata, so this is effectively
-# fixed; parse cost ~1.4 ms/doc single-core)
+# is 5000 rows at sf0.1; parse cost ~1.4 ms/doc single-core)
 PIPELINE_DOCS_MULT = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "40"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(make_df) -> float:
+    """Warmup once, then best-of-REPS seconds for a full forced run."""
+    _force(make_df())
+    best = None
+    for _ in range(REPS):
+        t0 = time.time()
+        _force(make_df())
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main() -> None:
@@ -69,27 +89,24 @@ def main() -> None:
         synth.pages_spark(spark, n_pipeline, num_partitions=CPUS * 2) \
             .write.mode("overwrite").parquet(f"{tmp}/pages")
         pages = spark.read.parquet(f"{tmp}/pages")
-        # full-width warmup: spin up ALL python workers + JIT; then
-        # best-of-2 timed reps (this host shows 2x run-to-run noise)
-        _force(run_fused(defuse_skew(pages, CPUS * 2), entry_mod.PIPE_CFG))
-        pipeline_s = None
-        for _ in range(2):
-            t0 = time.time()
-            _force(run_fused(defuse_skew(pages, CPUS * 2),
-                             entry_mod.PIPE_CFG))
-            dt = time.time() - t0
-            pipeline_s = dt if pipeline_s is None else min(pipeline_s, dt)
+        pipeline_s = _timed(
+            lambda: run_fused(defuse_skew(pages, CPUS * 2),
+                              entry_mod.PIPE_CFG))
+        timings["pipeline_fused"] = round(pipeline_s, 3)
+        # two-phase skew defusal variant (plans/salt.py): isolates
+        # oversized docs into round-robin partitions at the cost of a
+        # second scan — tracked so the tradeoff stays measured
+        timings["pipeline_fused_two_phase"] = round(_timed(
+            lambda: run_fused(defuse_skew(pages, CPUS * 2, two_phase=True),
+                              entry_mod.PIPE_CFG)), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    timings["pipeline_fused"] = round(pipeline_s, 3)
 
     headline = ["dedup_exact", "dedup_minhash_lsh", "simsearch_topk",
                 "text_quality", "lang_id", "fingerprint", "events_hourly",
                 "tpch_q1", "mask_classify", "aggregate_lines"]
     for name in headline:
-        t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,7 +121,16 @@ def main() -> None:
         "cpus": CPUS,
     }
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH"), exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "history.jsonl"), "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # history is best-effort; the contract is the stdout line
+    print(line)
 
 
 if __name__ == "__main__":

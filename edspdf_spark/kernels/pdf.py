@@ -225,20 +225,30 @@ _STR_ESCAPES = {
 }
 
 
-def _stream_for_obj(data: bytes, oid: int) -> bytes:
-    """Stream bytes of object `oid`, located in the FULL file bytes
+def _stream_for_obj(data: bytes, oid: int,
+                    body_start_by_oid: Optional[Dict[int, int]] = None
+                    ) -> bytes:
+    """Stream bytes of object `oid`, sliced out of the FULL file bytes
     (binary/compressed stream content may contain `endobj` byte runs,
     so the regex-scanned object body cannot be trusted for streams).
     Slices by the dict's direct /Length when present (free-form
     whitespace tolerated), else falls back to the endstream keyword;
-    inflates when /Filter names FlateDecode."""
-    hm = re.search(rb"(?<!\d)" + str(oid).encode() + rb"\s+0\s+obj\b", data)
-    if hm is None:
-        raise PdfParseError(f"dangling contents ref {oid}")
-    sm = _STREAM_KW_RE.search(data, hm.end())
+    inflates when /Filter names FlateDecode.
+
+    `body_start_by_oid` (offsets captured during the parser's single
+    object scan) avoids re-scanning the file per contents object — the
+    fallback search exists only for direct library callers."""
+    start = (body_start_by_oid or {}).get(oid)
+    if start is None:
+        hm = re.search(rb"(?<!\d)" + str(oid).encode() + rb"\s+0\s+obj\b",
+                       data)
+        if hm is None:
+            raise PdfParseError(f"dangling contents ref {oid}")
+        start = hm.end()
+    sm = _STREAM_KW_RE.search(data, start)
     if sm is None:
         raise PdfParseError("contents without stream")
-    dict_part = data[hm.end():sm.start()]
+    dict_part = data[start:sm.start()]
     body_start = sm.end()
     lm = _LENGTH_RE.search(dict_part)
     if lm:
@@ -311,8 +321,10 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
         raise PdfParseError("missing %%EOF marker")
 
     objs: Dict[int, bytes] = {}
+    body_starts: Dict[int, int] = {}  # for stream slicing, one scan total
     for m in _OBJ_RE.finditer(data):
         objs[int(m.group(1))] = m.group(2)
+        body_starts[int(m.group(1))] = m.start(2)
     if not objs:
         raise PdfParseError("no objects found")
 
@@ -361,7 +373,7 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
         cm = _CONTENTS_RE.search(body)
         lines: List[ParsedLine] = []
         if cm:
-            stream = _stream_for_obj(data, int(cm.group(1)))
+            stream = _stream_for_obj(data, int(cm.group(1)), body_starts)
             lines = _run_content(
                 stream,
                 {tag: fonts_by_obj.get(oid, "Unknown") for tag, oid in font_res.items()},
