@@ -478,6 +478,156 @@ FROM labeled
 """
 
 
+# ---------------------------------------------------------------------------
+# torch-free embedding stack: frozen deterministic weights at import
+# (same pattern as the trainable classifier), exact oracle via literal
+# weight tables + the closed-form bloc derivation.
+# ---------------------------------------------------------------------------
+
+EMBED_BOX_SIZE = 24       # 6 features x 4 sinusoidal channels
+EMBED_BOX_POSITIONS = 64
+EMBED_TEXT_DIM = 8
+
+
+def _freeze_embeddings():
+    """Vocabularies in encounter order over the 60-doc synth corpus +
+    frozen integer text weights + box fp/lp vectors."""
+    import numpy as np
+
+    from edspdf_spark.kernels.extract import extract_doc
+    from edspdf_spark.operators.embeddings import (build_text_vocabs,
+                                                   text_embed_weights)
+
+    texts = []
+    for i in range(60):
+        res = extract_doc(synth.make_pdf_bytes(i))
+        texts.extend(b["text"] for b in res["blocs"])
+    vocabs = build_text_vocabs(texts)
+    weights = text_embed_weights(vocabs, dim=EMBED_TEXT_DIM, seed=42)
+    rng = np.random.RandomState(7)
+    fp = rng.randn(EMBED_BOX_SIZE)
+    lp = rng.randn(EMBED_BOX_SIZE)
+    return vocabs, weights, fp, lp
+
+
+_EMB_VOCABS, _EMB_WEIGHTS, _EMB_FP, _EMB_LP = _freeze_embeddings()
+
+
+def q_bloc_embed(spark, sf_dir):
+    """Box-layout + simple-text embeddings per bloc ('cat' combine):
+    b0..b23 sinusoidal-layout doubles, t0..t7 integer text-embedding
+    sums. Hash-checked against literal-weight-table SQL."""
+    from edspdf_spark.operators.embeddings import (box_layout_embed,
+                                                   text_token_embed)
+
+    pages = synth.pages_spark(spark, 60, num_partitions=4)
+    bl = blocs(extract(pages))
+    bl = text_token_embed(bl, _EMB_VOCABS, _EMB_WEIGHTS)
+    bl = box_layout_embed(bl, size=EMBED_BOX_SIZE,
+                          n_positions=EMBED_BOX_POSITIONS,
+                          first_page_vec=_EMB_FP, last_page_vec=_EMB_LP)
+    return bl.select(
+        "url", "order_idx",
+        *[f"b{c}" for c in range(EMBED_BOX_SIZE)],
+        *[f"t{c}" for c in range(EMBED_TEXT_DIM)])
+
+
+def _bloc_embed_oracle() -> str:
+    """Closed-form oracle: synth bloc derivation + literal sinusoidal
+    table + per-word composite integer weights (shape+prefix+suffix of
+    each corpus word — tokenization on this corpus is split-on-space,
+    verified by tests against the reference regex tokenizer)."""
+    import numpy as np
+
+    from edspdf_spark.kernels.textfeatures import token_features
+    from edspdf_spark.operators.embeddings import sinusoidal_table
+
+    dim = EMBED_BOX_SIZE // 6
+    table = sinusoidal_table(EMBED_BOX_POSITIONS, dim)
+    sin_rows = ", ".join(
+        "(" + ", ".join([str(p)] + [f"CAST('{v!r}' AS DOUBLE)"
+                                    for v in table[p]]) + ")"
+        for p in range(EMBED_BOX_POSITIONS))
+    sin_cols = ", ".join(f"c{c}" for c in range(dim))
+
+    # per-word composite integer weights over the frozen vocab families
+    word_set = set()
+    from edspdf_spark.kernels.extract import extract_doc
+    for i in range(60):
+        res = extract_doc(synth.make_pdf_bytes(i))
+        for b in res["blocs"]:
+            word_set.update(b["text"].split(" "))
+    comp = {}
+    for w in sorted(word_set):
+        feats = token_features(w)
+        vec = np.zeros(EMBED_TEXT_DIM, dtype=np.int64)
+        for fam in ("shape", "prefix", "suffix"):
+            vec += _EMB_WEIGHTS[fam][
+                _EMB_VOCABS[fam].indices.get(feats[fam], 0)]
+        comp[w] = vec
+    word_rows = ", ".join(
+        "('" + w.replace("'", "''") + "', "
+        + ", ".join(str(int(v)) for v in vec) + ")"
+        for w, vec in comp.items())
+    word_cols = ", ".join(f"w{c}" for c in range(EMBED_TEXT_DIM))
+
+    fp_lit = [f"CAST('{v!r}' AS DOUBLE)" for v in _EMB_FP]
+    lp_lit = [f"CAST('{v!r}' AS DOUBLE)" for v in _EMB_LP]
+
+    n = EMBED_BOX_POSITIONS
+    idx_exprs = [
+        f"CAST(least(floor(x0 * CAST({n} AS DOUBLE)), {n - 1}) AS INTEGER)",
+        f"CAST(least(floor(y0 * CAST({n} AS DOUBLE)), {n - 1}) AS INTEGER)",
+        f"CAST(least(floor(x1 * CAST({n} AS DOUBLE)), {n - 1}) AS INTEGER)",
+        f"CAST(least(floor(y1 * CAST({n} AS DOUBLE)), {n - 1}) AS INTEGER)",
+        f"CAST(least(floor((x1 - x0) * CAST({n} AS DOUBLE)), {n - 1})"
+        " AS INTEGER)",
+        f"CAST(least(floor((y1 - y0) * CAST({5 * n} AS DOUBLE)), {n - 1})"
+        " AS INTEGER)",
+    ]
+    b_sel = []
+    for c in range(EMBED_BOX_SIZE):
+        feat, ch = divmod(c, dim)
+        b_sel.append(
+            f"(s{feat}.c{ch}"
+            f" + CASE WHEN l.p = 0 THEN {fp_lit[c]}"
+            " ELSE CAST(0 AS DOUBLE) END"
+            f" + CASE WHEN l.p = l.n_pages - 1 THEN {lp_lit[c]}"
+            " ELSE CAST(0 AS DOUBLE) END) AS b{c}".replace("{c}", str(c)))
+    sin_joins = "\n".join(
+        f"JOIN sintab s{f} ON s{f}.pos = l.i{f}" for f in range(6))
+    t_sel = ", ".join(
+        f"CAST(sum(w.w{c}) AS BIGINT) AS t{c}"
+        for c in range(EMBED_TEXT_DIM))
+
+    return _synth_pdf_cte(60) + f""",
+sintab(pos, {sin_cols}) AS (SELECT * FROM (VALUES {sin_rows})),
+wordtab(word, {word_cols}) AS (SELECT * FROM (VALUES {word_rows})),
+withnp AS (
+  SELECT labeled.*,
+         CASE WHEN i % 17 = 0 AND i > 0 THEN 3 ELSE 1 + (i % 3) END
+           AS n_pages,
+         {", ".join(f"{e} AS i{f}" for f, e in enumerate(idx_exprs))}
+  FROM labeled
+),
+textsum AS (
+  SELECT t.i, t.order_idx, {t_sel}
+  FROM (SELECT i, order_idx,
+               unnest(string_split(text, ' ')) AS word FROM labeled) t
+  JOIN wordtab w ON w.word = t.word
+  GROUP BY t.i, t.order_idx
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(l.i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       CAST(l.order_idx AS INTEGER) AS order_idx,
+       {", ".join(b_sel)},
+       {", ".join(f"ts.t{c}" for c in range(EMBED_TEXT_DIM))}
+FROM withnp l
+{sin_joins}
+JOIN textsum ts ON ts.i = l.i AND ts.order_idx = l.order_idx
+"""
+
+
 def _synth_html_oracle(n_docs: int) -> str:
     """HTML boilerplate-strip oracle: kept <p> blocks joined by blank
     lines (kernels/html.py over synth.synth_html_bytes)."""
@@ -907,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
+        "bloc_embed": q_bloc_embed,
         "trainable_classify": q_trainable_classify,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -1299,6 +1450,7 @@ _ORACLES["pipeline_body_text"] = _synth_pipeline_oracle(N_SYNTH_DOCS)
 _ORACLES["staged_pipeline"] = _synth_pipeline_oracle(60)
 _ORACLES["extract_blocs"] = _synth_blocs_oracle(60)
 _ORACLES["html_extract"] = _synth_html_oracle(60)
+_ORACLES["bloc_embed"] = _bloc_embed_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
