@@ -239,6 +239,54 @@ def text_token_embed(blocs: DataFrame, vocabs: Dict[str, Vocabulary],
     return blocs.mapInPandas(fn, schema=out_schema)
 
 
+def embed_from_spec(blocs: DataFrame, spec: Dict,
+                    vocabs: Optional[Dict[str, Vocabulary]] = None,
+                    weights: Optional[Dict[str, np.ndarray]] = None,
+                    prefix: str = "e") -> Tuple[DataFrame, int]:
+    """Materialize a parsed embedding component spec
+    (plans/config.py parse_embedding_spec — the reference wires nested
+    encoder tables the same way, tests/core/config.cfg) into embedding
+    columns `{prefix}0..{prefix}{size-1}`. Returns (df, size).
+
+    simple-text-embedding needs frozen vocabs+weights (built via
+    build_text_vocabs/text_embed_weights); its integer columns are
+    cast to double when a combiner sums them with box embeddings."""
+    factory = spec["factory"]
+    if factory == "box-layout-embedding":
+        size = int(spec.get("size", 24))
+        out = box_layout_embed(
+            blocs, size=size, n_positions=int(spec.get("n_positions", 64)),
+            prefix=prefix)
+        return out, size
+    if factory == "simple-text-embedding":
+        assert vocabs is not None and weights is not None, \
+            "simple-text-embedding needs frozen vocabs and weights"
+        dim = next(iter(weights.values())).shape[1]
+        if "size" in spec:
+            assert int(spec["size"]) == dim, \
+                f"spec size {spec['size']} != frozen weight dim {dim}"
+        return text_token_embed(blocs, vocabs, weights, prefix=prefix), dim
+    if factory == "embedding-combiner":
+        mode = spec.get("mode", "sum")
+        out = blocs
+        prefixes, dims = [], []
+        for i, (name, sub) in enumerate(sorted(spec["encoders"].items())):
+            p = f"_{prefix}enc{i}_"
+            out, d = embed_from_spec(out, sub, vocabs, weights, prefix=p)
+            if mode == "sum":  # integer text embeds sum with doubles
+                for c in range(d):
+                    out = out.withColumn(f"{p}{c}",
+                                         F.col(f"{p}{c}").cast("double"))
+            prefixes.append(p)
+            dims.append(d)
+        out = combine_embeddings(out, prefixes, dims, mode=mode,
+                                 out_prefix=prefix)
+        size = dims[0] if mode == "sum" else sum(dims)
+        return out.drop(*[f"{p}{c}" for p, d in zip(prefixes, dims)
+                          for c in range(d)]), size
+    raise ValueError(f"unknown embedding factory '{factory}'")
+
+
 def combine_embeddings(df: DataFrame, prefixes: Sequence[str],
                        dims: Sequence[int], mode: str = "sum",
                        out_prefix: str = "e") -> DataFrame:

@@ -47,6 +47,9 @@ class PipelineConfig:
     label_map: Optional[Dict[str, Union[str, List[str]]]] = None
     markdown: bool = False
     keep_labels: Optional[Sequence[str]] = None  # None => keep all
+    # nested §2.7 embedding component spec (plans/config.py
+    # parse_embedding_spec); consumed by embeddings.embed_from_spec
+    embedding_spec: Optional[Dict] = None
 
 
 def process_doc(url: str, html: bytes, cfg: PipelineConfig

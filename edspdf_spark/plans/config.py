@@ -30,11 +30,27 @@ Here a pipeline is one PipelineConfig consumed by the fused map, so
 Unknown factories raise (same contract as the reference registry's
 "unknown function" error, registry.py:127-154). TOML parsing is
 stdlib tomllib; plain dicts are accepted for programmatic use.
+
+Reference interpolation: `${components.embedding}`-style values
+resolve to the object at that dotted path of the root config, exactly
+the sharing mechanism the reference's confit Config.resolve provides
+(pipeline.py:498-544; used by tests/recipes/config.cfg:37 to share one
+embedding between components). Whole-value references only — the
+engine has no use for string splicing. `@factory` (reference spelling)
+and `factory` are both accepted.
+
+Embedding components (`box-layout-embedding`, `simple-text-embedding`,
+`embedding-combiner` — the torch-free §2.7 stack in
+operators/embeddings.py) parse into `PipelineConfig.embedding_spec`,
+a nested spec that operators.embeddings.embed_from_spec turns into
+DataFrame column stages. Torch-only factories (box-transformer,
+sub-box-cnn-pooler, huggingface-embedding) raise a clear error.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+import re
+from typing import Any, Dict, List, Optional, Union
 
 from ..operators.fused import PipelineConfig
 
@@ -42,10 +58,92 @@ _EXTRACTOR_FACTORIES = {"pdfminer-extractor"}
 _CLASSIFIER_FACTORIES = {"mask-classifier", "multi-mask-classifier",
                          "dummy-classifier"}
 _AGGREGATOR_FACTORIES = {"simple-aggregator", "markdown-aggregator"}
+_EMBEDDING_FACTORIES = {"box-layout-embedding", "simple-text-embedding",
+                        "embedding-combiner"}
+_TORCH_ONLY_FACTORIES = {"box-transformer", "sub-box-cnn-pooler",
+                         "huggingface-embedding"}
+
+_REF_RE = re.compile(r"^\$\{([A-Za-z0-9_.\-]+)\}$")
 
 
 class ConfigError(ValueError):
     pass
+
+
+def _path_get(root: Dict, dotted: str):
+    node: Any = root
+    for part in dotted.split("."):
+        if not isinstance(node, dict) or part not in node:
+            raise ConfigError(f"config reference '${{{dotted}}}' does not "
+                              f"resolve (missing '{part}')")
+        node = node[part]
+    return node
+
+
+def resolve_references(cfg: Dict) -> Dict:
+    """Resolve `${dotted.path}` string values against the root config.
+
+    The referenced object is SHARED (not copied), matching the
+    reference semantics where `embedding = ${components.embedding}`
+    makes two pipes hold the same component. Chained references
+    resolve transitively; cycles raise."""
+    def resolve_value(v, stack):
+        if isinstance(v, str):
+            m = _REF_RE.match(v)
+            if m:
+                path = m.group(1)
+                if path in stack:
+                    raise ConfigError(
+                        f"config reference cycle: {' -> '.join(stack)} "
+                        f"-> {path}")
+                target = _path_get(cfg, path)
+                return resolve_value(target, stack + (path,))
+        return v
+
+    def walk(node, stack):
+        if isinstance(node, dict):
+            for k, v in list(node.items()):
+                r = resolve_value(v, stack)
+                node[k] = walk(r, stack) if isinstance(r, (dict, list)) \
+                    and r is v else r
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                r = resolve_value(v, stack)
+                node[i] = walk(r, stack) if isinstance(r, (dict, list)) \
+                    and r is v else r
+        return node
+
+    return walk(cfg, ())
+
+
+def parse_embedding_spec(comp: Dict, name: str = "embedding") -> Dict:
+    """Nested component dict -> embedding spec consumed by
+    operators.embeddings.embed_from_spec. Sub-tables with a factory key
+    become nested encoder specs (the reference nests encoders the same
+    way, tests/core/config.cfg)."""
+    comp = dict(comp)
+    factory = comp.pop("@factory", None) or comp.pop("factory", None)
+    if factory in _TORCH_ONLY_FACTORIES:
+        raise ConfigError(
+            f"factory '{factory}' for '{name}' needs torch, which is not "
+            "available in this engine build; use the torch-free stack "
+            f"({sorted(_EMBEDDING_FACTORIES)})")
+    if factory not in _EMBEDDING_FACTORIES:
+        raise ConfigError(f"unknown embedding factory '{factory}' for "
+                          f"'{name}' (known: {sorted(_EMBEDDING_FACTORIES)})")
+    spec: Dict = {"factory": factory}
+    encoders = {}
+    for k, v in comp.items():
+        if isinstance(v, dict) and ("factory" in v or "@factory" in v):
+            encoders[k] = parse_embedding_spec(v, name=f"{name}.{k}")
+        else:
+            spec[k] = v
+    if encoders:
+        spec["encoders"] = encoders
+    if factory == "embedding-combiner" and not encoders:
+        raise ConfigError(f"embedding-combiner '{name}' needs at least one "
+                          "nested encoder table")
+    return spec
 
 
 def load_config(source: Union[str, Dict]) -> PipelineConfig:
@@ -65,6 +163,7 @@ def load_config(source: Union[str, Dict]) -> PipelineConfig:
         else:
             cfg = tomllib.loads(source)
 
+    cfg = resolve_references(cfg)
     try:
         order: List[str] = cfg["pipeline"]["pipeline"]
         components: Dict[str, Dict] = cfg["components"]
@@ -78,8 +177,19 @@ def load_config(source: Union[str, Dict]) -> PipelineConfig:
             raise ConfigError(f"pipeline lists '{name}' but "
                               f"[components.{name}] is missing")
         comp = dict(components[name])
-        factory = comp.pop("factory", None)
-        if factory in _EXTRACTOR_FACTORIES:
+        factory = comp.pop("@factory", None) or comp.pop("factory", None)
+        if factory in _EMBEDDING_FACTORIES or factory in _TORCH_ONLY_FACTORIES:
+            out.embedding_spec = parse_embedding_spec(
+                {"factory": factory, **comp}, name=name)
+            comp = {}
+        elif factory == "trainable-classifier":
+            emb = comp.pop("embedding", None)
+            if isinstance(emb, dict):
+                out.embedding_spec = parse_embedding_spec(
+                    emb, name=f"{name}.embedding")
+            comp.pop("labels", None)
+            comp.pop("activation", None)
+        elif factory in _EXTRACTOR_FACTORIES:
             out.extract_style = bool(comp.pop("extract_style", False))
             comp.pop("raise_on_error", None)
         elif factory == "mask-classifier":

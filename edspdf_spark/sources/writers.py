@@ -6,12 +6,15 @@
 | ParquetWriter (data/parquet.py:69-230) | write_texts_parquet: df.write.parquet, rows-per-file via maxRecordsPerFile (reference num_rows_per_file=8192, parquet.py:85) |
 | PandasWriter (data/pandas.py:94-155)   | to_pandas: df.toPandas()        |
 | to_iterable (data/base.py:140-180)     | to_iterable: df.toLocalIterator() |
-| FileWriter (data/files.py:110-180)     | out of scope (per-doc .pdf dump; foreachPartition if ever needed) |
+| FileWriter (data/files.py:110-180)     | write_files: per-doc .pdf + .json dump via foreachPartition, with the reference's overwrite-refusal semantics |
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+import json
+import os
+from collections import Counter
+from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
@@ -35,3 +38,55 @@ def to_pandas(df: DataFrame):
 
 def to_iterable(df: DataFrame) -> Iterator:
     return df.toLocalIterator()
+
+
+def _check_overwrite(path: str, overwrite: bool) -> None:
+    """Reference overwrite refusal (data/files.py:141-152): an existing
+    directory containing .pdf/.json files refuses the write unless
+    overwrite=True, listing the offending suffix counts."""
+    if not os.path.isdir(path):
+        return
+    suffixes = Counter(os.path.splitext(f)[1] for f in os.listdir(path))
+    unsafe = {s: v for s, v in suffixes.items() if s in (".pdf", ".json")}
+    if unsafe and not overwrite:
+        raise FileExistsError(
+            f"Directory {path} already exists and appear to contain "
+            "annotations:"
+            + "".join(f"\n -{s}: {v} files" for s, v in unsafe.items())
+            + "\nUse overwrite=True to write files anyway.")
+
+
+def write_files(docs: DataFrame, path: str, *, overwrite: bool = False,
+                filename_col: str = "url", content_col: str = "html",
+                meta_cols: Optional[Sequence[str]] = None) -> None:
+    """Per-document dump, mirroring the reference FileWriter
+    (data/files.py:110-180): `{filename}.pdf` gets the payload bytes,
+    `{filename}.json` the remaining record fields.
+
+    The filename is the basename of `filename_col` without its
+    extension (the reference round-trips FILENAME the same way,
+    files.py:104-106). Executors write through foreachPartition — the
+    path must be a filesystem every executor can reach (local mode:
+    any local dir; cluster: a shared mount/object store via fuse).
+    Annotation-tool round-trips read the dump back with
+    readers.read_pdf_files."""
+    _check_overwrite(path, overwrite)
+    os.makedirs(path, exist_ok=True)
+    meta = list(meta_cols if meta_cols is not None
+                else [c for c in docs.columns
+                      if c not in (filename_col, content_col)])
+    cols = [filename_col, content_col, *meta]
+    rows = docs.select(*cols)
+
+    def write_partition(it) -> None:
+        for row in it:
+            name = os.path.basename(str(row[filename_col]))
+            name = name.rsplit(".", 1)[0] if "." in name else name
+            payload = row[content_col]
+            with open(os.path.join(path, f"{name}.pdf"), "wb") as f:
+                f.write(bytes(payload) if payload is not None else b"")
+            rec = {c: row[c] for c in meta}
+            with open(os.path.join(path, f"{name}.json"), "w") as f:
+                json.dump(rec, f, default=str)
+
+    rows.foreachPartition(write_partition)

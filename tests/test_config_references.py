@@ -1,0 +1,113 @@
+"""Config reference interpolation (${components.x}) + embedding
+component wiring — reference pipeline.py:498-544 and
+tests/recipes/config.cfg:37 semantics."""
+
+import numpy as np
+import pytest
+
+from edspdf_spark.plans.config import (ConfigError, load_config,
+                                       parse_embedding_spec,
+                                       resolve_references)
+
+
+def test_resolve_references_shares_object():
+    cfg = {
+        "components": {
+            "embedding": {"factory": "box-layout-embedding", "size": 24},
+            "classifier": {"factory": "trainable-classifier",
+                           "embedding": "${components.embedding}"},
+        },
+    }
+    out = resolve_references(cfg)
+    assert out["components"]["classifier"]["embedding"] is \
+        out["components"]["embedding"]
+
+
+def test_resolve_references_chain_and_errors():
+    cfg = {"a": "${b}", "b": "${c}", "c": 42}
+    assert resolve_references(cfg)["a"] == 42
+    with pytest.raises(ConfigError, match="does not resolve"):
+        resolve_references({"a": "${missing.path}"})
+    with pytest.raises(ConfigError, match="cycle"):
+        resolve_references({"a": "${b}", "b": "${a}"})
+
+
+def test_load_config_reference_style_embedding():
+    """Mirrors the reference recipes/config.cfg shape: a trainable
+    classifier whose embedding references a shared component."""
+    cfg = {
+        "pipeline": {"pipeline": ["extractor", "classifier"]},
+        "components": {
+            "extractor": {"@factory": "pdfminer-extractor"},
+            "embedding": {
+                "@factory": "embedding-combiner",
+                "mode": "sum",
+                "layout_encoder": {"@factory": "box-layout-embedding",
+                                   "size": 12, "n_positions": 16},
+                "text_encoder": {"@factory": "simple-text-embedding",
+                                 "size": 12},
+            },
+            "classifier": {"@factory": "trainable-classifier",
+                           "labels": [],
+                           "embedding": "${components.embedding}"},
+        },
+    }
+    pc = load_config(cfg)
+    spec = pc.embedding_spec
+    assert spec["factory"] == "embedding-combiner"
+    assert set(spec["encoders"]) == {"layout_encoder", "text_encoder"}
+    assert spec["encoders"]["layout_encoder"]["size"] == 12
+
+
+def test_torch_only_factory_raises():
+    with pytest.raises(ConfigError, match="needs torch"):
+        parse_embedding_spec({"@factory": "box-transformer", "n_layers": 1})
+
+
+def test_embed_from_spec_combiner_sum_matches_manual(spark):
+    from edspdf_spark.operators.embeddings import (box_layout_embed,
+                                                   build_text_vocabs,
+                                                   embed_from_spec,
+                                                   text_embed_weights,
+                                                   text_token_embed)
+
+    vocabs = build_text_vocabs(["alpha beta", "gamma"])
+    weights = text_embed_weights(vocabs, dim=12, seed=3)
+    df = spark.createDataFrame(
+        [("u", 0, 0, 2, 0.2, 0.5, 0.3, 0.35, "alpha gamma")],
+        "url string, order_idx int, page_num int, num_pages int, x0 double,"
+        " x1 double, y0 double, y1 double, text string")
+    spec = {
+        "factory": "embedding-combiner", "mode": "sum",
+        "encoders": {
+            "layout": {"factory": "box-layout-embedding", "size": 12,
+                       "n_positions": 16},
+            "text": {"factory": "simple-text-embedding", "size": 12},
+        },
+    }
+    out, size = embed_from_spec(df, spec, vocabs, weights)
+    assert size == 12
+    row = out.collect()[0]
+    manual_box = box_layout_embed(df, size=12, n_positions=16).collect()[0]
+    manual_txt = text_token_embed(df, vocabs, weights).collect()[0]
+    for c in range(12):
+        assert row[f"e{c}"] == manual_box[f"b{c}"] + float(manual_txt[f"t{c}"])
+
+
+def test_embed_from_spec_cat_sizes(spark):
+    from edspdf_spark.operators.embeddings import embed_from_spec
+
+    df = spark.createDataFrame(
+        [("u", 0, 1, 0.1, 0.2, 0.1, 0.2)],
+        "url string, page_num int, num_pages int, x0 double, x1 double,"
+        " y0 double, y1 double")
+    spec = {"factory": "embedding-combiner", "mode": "cat",
+            "encoders": {
+                "a": {"factory": "box-layout-embedding", "size": 12,
+                      "n_positions": 16},
+                "b": {"factory": "box-layout-embedding", "size": 24,
+                      "n_positions": 16},
+            }}
+    out, size = embed_from_spec(df, spec)
+    assert size == 36
+    assert [f"e{c}" in out.columns for c in range(36)] == [True] * 36
