@@ -513,6 +513,43 @@ def _freeze_embeddings():
 _EMB_VOCABS, _EMB_WEIGHTS, _EMB_FP, _EMB_LP = _freeze_embeddings()
 
 
+_WORD_COMPOSITE_CACHE: dict = {}
+
+
+def _word_composite() -> dict:
+    """word -> summed integer feature vector (shape+prefix+suffix of
+    the frozen vocabs) for every distinct word of the 60-doc corpus.
+    Tokenization on this corpus is split-on-space (test-verified
+    against the reference regex tokenizer)."""
+    if _WORD_COMPOSITE_CACHE:
+        return _WORD_COMPOSITE_CACHE
+    import numpy as np
+
+    from edspdf_spark.kernels.extract import extract_doc
+    from edspdf_spark.kernels.textfeatures import token_features
+
+    word_set = set()
+    for i in range(60):
+        res = extract_doc(synth.make_pdf_bytes(i))
+        for b in res["blocs"]:
+            word_set.update(b["text"].split(" "))
+    for w in sorted(word_set):
+        feats = token_features(w)
+        vec = np.zeros(EMBED_TEXT_DIM, dtype=np.int64)
+        for fam in ("shape", "prefix", "suffix"):
+            vec += _EMB_WEIGHTS[fam][
+                _EMB_VOCABS[fam].indices.get(feats[fam], 0)]
+        _WORD_COMPOSITE_CACHE[w] = vec
+    return _WORD_COMPOSITE_CACHE
+
+
+def _word_composite_rows() -> str:
+    return ", ".join(
+        "('" + w.replace("'", "''") + "', "
+        + ", ".join(str(int(v)) for v in vec) + ")"
+        for w, vec in _word_composite().items())
+
+
 def q_bloc_embed(spark, sf_dir):
     """Box-layout + simple-text embeddings per bloc ('cat' combine):
     b0..b23 sinusoidal-layout doubles, t0..t7 integer text-embedding
@@ -550,25 +587,7 @@ def _bloc_embed_oracle() -> str:
         for p in range(EMBED_BOX_POSITIONS))
     sin_cols = ", ".join(f"c{c}" for c in range(dim))
 
-    # per-word composite integer weights over the frozen vocab families
-    word_set = set()
-    from edspdf_spark.kernels.extract import extract_doc
-    for i in range(60):
-        res = extract_doc(synth.make_pdf_bytes(i))
-        for b in res["blocs"]:
-            word_set.update(b["text"].split(" "))
-    comp = {}
-    for w in sorted(word_set):
-        feats = token_features(w)
-        vec = np.zeros(EMBED_TEXT_DIM, dtype=np.int64)
-        for fam in ("shape", "prefix", "suffix"):
-            vec += _EMB_WEIGHTS[fam][
-                _EMB_VOCABS[fam].indices.get(feats[fam], 0)]
-        comp[w] = vec
-    word_rows = ", ".join(
-        "('" + w.replace("'", "''") + "', "
-        + ", ".join(str(int(v)) for v in vec) + ")"
-        for w, vec in comp.items())
+    word_rows = _word_composite_rows()
     word_cols = ", ".join(f"w{c}" for c in range(EMBED_TEXT_DIM))
 
     fp_lit = [f"CAST('{v!r}' AS DOUBLE)" for v in _EMB_FP]
@@ -625,6 +644,107 @@ SELECT 'https://example.org/doc/' || lpad(CAST(l.i AS VARCHAR), 8, '0')
 FROM withnp l
 {sin_joins}
 JOIN textsum ts ON ts.i = l.i AND ts.order_idx = l.order_idx
+"""
+
+
+def _freeze_cnn():
+    from edspdf_spark.operators.embeddings import cnn_pool_weights
+
+    return cnn_pool_weights(in_size=EMBED_TEXT_DIM, out_channels=2,
+                            kernel_sizes=(2, 3), output_size=4, seed=11,
+                            span=5)
+
+
+_CNN_WEIGHTS = _freeze_cnn()
+
+
+def q_bloc_cnn_pool(spark, sf_dir):
+    """sub-box-cnn-pooler over simple-text word embeddings (the
+    reference's text-encoder wiring, tests/core/config.cfg): integer
+    conv -> relu -> max-pool -> linear per bloc. Hash-checked."""
+    from edspdf_spark.operators.embeddings import text_cnn_pool
+
+    pages = synth.pages_spark(spark, 60, num_partitions=4)
+    bl = blocs(extract(pages))
+    out = text_cnn_pool(bl, _EMB_VOCABS, _EMB_WEIGHTS, _CNN_WEIGHTS)
+    return out.select(
+        "url", "order_idx",
+        *[f"c{c}" for c in range(_CNN_WEIGHTS["output_size"])])
+
+
+def _bloc_cnn_oracle() -> str:
+    """Closed-form CNN-pool oracle: per-word integer vectors via the
+    composite word table, conv windows as a positional self-join
+    (padding positions contribute nothing, exactly the zero-pad),
+    relu/max/linear as integer SQL."""
+    cnn = _CNN_WEIGHTS
+    dim = EMBED_TEXT_DIM
+    word_cols = ", ".join(f"w{c}" for c in range(dim))
+
+    conv_ctes = []
+    pool_ctes = []
+    feat_names = []   # pooled feature column refs in concat order
+    for ki, ((w, b), k) in enumerate(zip(cnn["convs"], cnn["kernel_sizes"])):
+        pad = k // 2
+        ch_exprs = []
+        for ch in range(w.shape[0]):
+            whens = []
+            for r in range(k):
+                terms = [f"({int(w[ch, c, r])}) * e.w{c}"
+                         for c in range(dim) if int(w[ch, c, r]) != 0]
+                whens.append(f"WHEN {r} THEN "
+                             + (" + ".join(terms) if terms else "0"))
+            ch_exprs.append(
+                f"greatest(0, COALESCE(SUM(CASE e.pos - p.pos + {pad} "
+                + " ".join(whens)
+                + f" END), 0) + ({int(b[ch])})) AS k{ki}c{ch}")
+            feat_names.append(f"k{ki}c{ch}")
+        conv_ctes.append(f"""
+conv{ki} AS (
+  SELECT p.i, p.order_idx, p.pos, {", ".join(ch_exprs)}
+  FROM wordvec p JOIN wordvec e
+    ON e.i = p.i AND e.order_idx = p.order_idx
+   AND e.pos - p.pos + {pad} BETWEEN 0 AND {k - 1}
+  GROUP BY p.i, p.order_idx, p.pos
+)""")
+        pool_ctes.append(f"""
+pool{ki} AS (
+  SELECT i, order_idx,
+         {", ".join(f"max(k{ki}c{ch}) AS k{ki}c{ch}"
+                    for ch in range(w.shape[0]))}
+  FROM conv{ki} GROUP BY i, order_idx
+)""")
+
+    lin_w, lin_b = cnn["linear"]
+    out_exprs = []
+    for c in range(cnn["output_size"]):
+        terms = [f"({int(lin_w[c, f])}) * {feat_names[f]}"
+                 for f in range(len(feat_names)) if int(lin_w[c, f]) != 0]
+        out_exprs.append("CAST(" + (" + ".join(terms) if terms else "0")
+                         + f" + ({int(lin_b[c])}) AS BIGINT) AS c{c}")
+    pool_join = " JOIN ".join(
+        [f"pool0"] + [f"pool{ki} USING (i, order_idx)"
+                      for ki in range(1, len(cnn["kernel_sizes"]))])
+
+    return _synth_pdf_cte(60) + f""",
+wordtab(word, {word_cols}) AS (SELECT * FROM (VALUES {_word_composite_rows()})),
+parts AS (
+  SELECT i, order_idx, string_split(text, ' ') AS ps,
+         len(string_split(text, ' ')) AS n
+  FROM labeled
+),
+wordvec AS (
+  SELECT pa.i, pa.order_idx, g.pos, {", ".join(
+      f"w.w{c}" for c in range(dim))}
+  FROM parts pa
+  CROSS JOIN generate_series(0, 40) g(pos)
+  JOIN wordtab w ON g.pos < pa.n AND w.word = pa.ps[g.pos + 1]
+),{",".join(conv_ctes)},{",".join(pool_ctes)}
+SELECT 'https://example.org/doc/' || lpad(CAST(i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       CAST(order_idx AS INTEGER) AS order_idx,
+       {", ".join(out_exprs)}
+FROM {pool_join}
 """
 
 
@@ -1058,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
+        "bloc_cnn_pool": q_bloc_cnn_pool,
         "trainable_classify": q_trainable_classify,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
@@ -1451,6 +1572,7 @@ _ORACLES["staged_pipeline"] = _synth_pipeline_oracle(60)
 _ORACLES["extract_blocs"] = _synth_blocs_oracle(60)
 _ORACLES["html_extract"] = _synth_html_oracle(60)
 _ORACLES["bloc_embed"] = _bloc_embed_oracle()
+_ORACLES["bloc_cnn_pool"] = _bloc_cnn_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

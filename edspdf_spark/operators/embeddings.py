@@ -239,6 +239,100 @@ def text_token_embed(blocs: DataFrame, vocabs: Dict[str, Vocabulary],
     return blocs.mapInPandas(fn, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# sub-box-cnn-pooler: multi-kernel 1-D conv over the word axis + relu +
+# max-pool + linear (sub_box_cnn_pooler.py:58-120), in integer numpy.
+# ---------------------------------------------------------------------------
+
+
+def cnn_pool_weights(in_size: int, out_channels: int = 2,
+                     kernel_sizes: Sequence[int] = (2, 3),
+                     output_size: int = 4, seed: int = 11,
+                     span: int = 5) -> Dict:
+    """Frozen INTEGER conv + linear weights. Integer math keeps every
+    dot product exact and partition-order-independent, the same trick
+    as text_embed_weights. (The reference's float Conv1d weights are
+    random at init, so numeric parity targets a frozen set either way.)"""
+    rng = np.random.RandomState(seed)
+    convs = []
+    for k in kernel_sizes:
+        convs.append((
+            rng.randint(-span, span + 1,
+                        size=(out_channels, in_size, k)).astype(np.int64),
+            rng.randint(-span, span + 1, size=out_channels).astype(np.int64)))
+    lin_w = rng.randint(-span, span + 1,
+                        size=(output_size,
+                              out_channels * len(kernel_sizes))
+                        ).astype(np.int64)
+    lin_b = rng.randint(-span, span + 1, size=output_size).astype(np.int64)
+    return {"convs": convs, "kernel_sizes": list(kernel_sizes),
+            "linear": (lin_w, lin_b), "out_channels": out_channels,
+            "output_size": output_size, "in_size": in_size}
+
+
+def cnn_pool_bloc(word_embeds: np.ndarray, weights: Dict) -> np.ndarray:
+    """One bloc: (n_words, in_size) int64 -> (output_size,) int64.
+
+    Mirrors the reference forward (sub_box_cnn_pooler.py:87-112): each
+    kernel k convolves with zero padding [k//2, (k-1)//2] (output
+    length == n_words), relu, channel concat, max over the word axis,
+    linear projection."""
+    n, in_size = word_embeds.shape
+    feats: List[np.ndarray] = []
+    for (w, b), k in zip(weights["convs"], weights["kernel_sizes"]):
+        pad_l, pad_r = k // 2, (k - 1) // 2
+        padded = np.zeros((n + pad_l + pad_r, in_size), dtype=np.int64)
+        padded[pad_l:pad_l + n] = word_embeds
+        out = np.empty((n, w.shape[0]), dtype=np.int64)
+        for pos in range(n):
+            window = padded[pos:pos + k]  # (k, in)
+            # conv: sum over (in, k) of W[ch, in, k] * window[k, in]
+            out[pos] = np.einsum("cik,ki->c", w, window) + b
+        feats.append(np.maximum(out, 0))  # relu
+    cat = np.concatenate(feats, axis=1)           # (n, out_ch * K)
+    pooled = cat.max(axis=0)                      # max over words
+    lin_w, lin_b = weights["linear"]
+    return lin_w @ pooled + lin_b
+
+
+def text_cnn_pool(blocs: DataFrame, vocabs: Dict[str, Vocabulary],
+                  text_weights: Dict[str, np.ndarray], cnn: Dict,
+                  prefix: str = "c") -> DataFrame:
+    """Append c0..c{output_size-1}: CNN-pooled text embedding per bloc
+    (the reference wires sub-box-cnn-pooler over simple-text-embedding,
+    tests/core/config.cfg). Per-word embeddings are the integer
+    shape+prefix+suffix sums; one mapInPandas stage, no shuffle."""
+    import pandas as pd
+
+    from ..kernels.textfeatures import text_token_features
+
+    dim = cnn["output_size"]
+    idx = {f: dict(vocabs[f].indices) for f in FEATURE_FAMILIES}
+    in_size = cnn["in_size"]
+    in_fields = blocs.schema.fields
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in in_fields]
+        + [f"{prefix}{c} bigint" for c in range(dim)])
+
+    def fn(batches):
+        for pdf in batches:
+            outs = np.zeros((len(pdf), dim), dtype=np.int64)
+            for r, text in enumerate(pdf["text"].tolist()):
+                toks = text_token_features(text or "")
+                E = np.zeros((max(len(toks), 1), in_size), dtype=np.int64)
+                for t, feats in enumerate(toks):
+                    for fam in FEATURE_FAMILIES:
+                        E[t] += text_weights[fam][
+                            idx[fam].get(feats[fam], 0)]
+                outs[r] = cnn_pool_bloc(E, cnn)
+            out = pdf.copy()
+            for c in range(dim):
+                out[f"{prefix}{c}"] = outs[:, c]
+            yield out
+
+    return blocs.mapInPandas(fn, schema=out_schema)
+
+
 def embed_from_spec(blocs: DataFrame, spec: Dict,
                     vocabs: Optional[Dict[str, Vocabulary]] = None,
                     weights: Optional[Dict[str, np.ndarray]] = None,

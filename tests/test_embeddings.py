@@ -139,6 +139,63 @@ def test_build_vocab_distributed_sorted_ids(spark):
 
 
 # ---------------------------------------------------------------------------
+# sub-box-cnn-pooler (sub_box_cnn_pooler.py:87-112)
+# ---------------------------------------------------------------------------
+
+def test_cnn_pool_bloc_hand_golden():
+    from edspdf_spark.operators.embeddings import cnn_pool_bloc
+
+    # k=2: pad [1, 0]; W picks padded[pos][0] + padded[pos+1][1]
+    w = np.zeros((1, 2, 2), dtype=np.int64)
+    w[0, 0, 0] = 1
+    w[0, 1, 1] = 1
+    weights = {"convs": [(w, np.array([1], dtype=np.int64))],
+               "kernel_sizes": [2],
+               "linear": (np.array([[2]], dtype=np.int64),
+                          np.array([-1], dtype=np.int64)),
+               "out_channels": 1, "output_size": 1, "in_size": 2}
+    E = np.array([[1, 2], [3, 4], [5, 6]], dtype=np.int64)
+    # conv: [0+2, 1+4, 3+6] + 1 = [3, 6, 10]; relu; max 10; 2*10-1
+    assert cnn_pool_bloc(E, weights).tolist() == [19]
+
+
+def test_cnn_pool_bloc_relu_and_padding():
+    from edspdf_spark.operators.embeddings import cnn_pool_bloc
+
+    w = np.full((1, 1, 3), -1, dtype=np.int64)  # k=3: pad [1, 1]
+    weights = {"convs": [(w, np.array([0], dtype=np.int64))],
+               "kernel_sizes": [3],
+               "linear": (np.array([[1]], dtype=np.int64),
+                          np.array([0], dtype=np.int64)),
+               "out_channels": 1, "output_size": 1, "in_size": 1}
+    E = np.array([[1], [1]], dtype=np.int64)
+    # conv: pos0 window [0,1,1] -> -2; pos1 [1,1,0] -> -2; relu -> 0
+    assert cnn_pool_bloc(E, weights).tolist() == [0]
+
+
+def test_text_cnn_pool_matches_numpy(spark):
+    from edspdf_spark.kernels.textfeatures import text_token_features
+    from edspdf_spark.operators.embeddings import (cnn_pool_bloc,
+                                                   cnn_pool_weights,
+                                                   text_cnn_pool)
+
+    vocabs, weights = _mini_vocab_weights()  # dim 4
+    cnn = cnn_pool_weights(in_size=4, out_channels=2, kernel_sizes=(2, 3),
+                           output_size=3, seed=5)
+    rows = [("u1", 0, "alpha beta"), ("u2", 0, "Page 12 beta alpha beta")]
+    df = spark.createDataFrame(rows, "url string, order_idx int, text string")
+    got = {r["url"]: [r[f"c{c}"] for c in range(3)]
+           for r in text_cnn_pool(df, vocabs, weights, cnn).collect()}
+    for url, _oi, text in rows:
+        toks = text_token_features(text)
+        E = np.zeros((len(toks), 4), dtype=np.int64)
+        for t, feats in enumerate(toks):
+            for fam in ("shape", "prefix", "suffix"):
+                E[t] += weights[fam][vocabs[fam].indices.get(feats[fam], 0)]
+        assert got[url] == cnn_pool_bloc(E, cnn).tolist(), url
+
+
+# ---------------------------------------------------------------------------
 # combiner (embedding_combiner.py:40-77)
 # ---------------------------------------------------------------------------
 

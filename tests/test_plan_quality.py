@@ -109,6 +109,48 @@ def test_ivf_scoring_is_pythonless(spark):
     assert "EvalPython" not in plan  # assignment + dot all codegen
 
 
+def test_lsh_candidates_shuffles_do_not_scale_with_bands(spark):
+    """lsh_candidates is ONE explode + ONE self-join on the composite
+    (band_idx, values) key: its Exchange count is a constant (pinned),
+    and doubling the band count must not add shuffles (the round-1
+    per-band-join shape scaled Exchanges linearly with bands)."""
+    from edspdf_spark.operators.dedup import (lsh_candidates,
+                                              minhash_signatures,
+                                              shingle_table)
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d e f g h" * 3) for i in range(40)],
+        "doc_id long, text string")
+    sh = shingle_table(df)
+
+    sigs = minhash_signatures(sh, 8)
+
+    def n_exchanges(band_size):
+        plan = _plan(lsh_candidates(sigs, band_size))
+        assert "EvalPython" not in plan
+        return plan.count("Exchange")
+
+    four_bands, two_bands = n_exchanges(2), n_exchanges(4)
+    assert four_bands == two_bands
+    assert four_bands <= 5, four_bands
+
+
+def test_simhash_single_shuffle_no_bit_explode(spark):
+    """simhash: one groupBy(id) with per-bit conditional sums — exactly
+    one Exchange, no tokens-x-bits row blowup (no second explode)."""
+    from edspdf_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma") for i in range(40)],
+        "doc_id long, text string")
+    plan = _plan(simhash(df, bits=16))
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+    # exactly one generator (the token explode); a bit-explode would
+    # add a second Generate node
+    assert plan.count("Generate") == 1, plan
+
+
 def test_connected_components_lineage_is_truncated(spark):
     """After convergence the result plan must be a checkpoint scan,
     not a nested join tree (the OOM failure mode)."""
