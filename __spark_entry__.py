@@ -1036,6 +1036,12 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_token_count(spark, sf_dir):
+    from edspdf_spark.operators.analysis import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
 def q_html_extract(spark, sf_dir):
     """HTML boilerplate-strip path of the fused pipeline; hash-checked
     against the closed-form paragraph oracle."""
@@ -1175,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -1534,6 +1541,26 @@ SELECT doc_id AS id, md5(lower(text)) AS content_md5,
        length(text) AS n_chars
 FROM documents
 """
+
+def _token_count_oracle() -> str:
+    from edspdf_spark.operators.analysis import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    n_bpe = f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    return f"""
+SELECT doc_id AS id,
+       {n_bpe} AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT)
+         / (CASE WHEN {n_bpe} = 0 THEN CAST(1 AS BIGINT)
+                 ELSE {n_bpe} END) AS chars_per_bpe_token
+FROM documents
+"""
+
+
+_ORACLES["token_count"] = _token_count_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -483,3 +483,130 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
                 stack.clear()
     flush()
     return lines
+
+
+# ---------------------------------------------------------------------------
+# Annotation overlay — the reference's show_annotations analog
+# (/root/reference/edspdf/visualization/annotations.py:34-83) without
+# pypdfium2/PIL: instead of rendering pages to images and drawing PIL
+# rectangles, the SAME outlines (CATEGORY20 palette, labels colored in
+# first-encounter order, 3px-at-scale-2 = 1.5pt strokes) are appended
+# to each page's content stream, so any PDF viewer shows them and the
+# text extraction is byte-for-byte unaffected (the parser ignores
+# non-text operators).
+# ---------------------------------------------------------------------------
+
+CATEGORY20 = [
+    "#1f77b4", "#ff7f0e", "#2ca02c", "#98df8a", "#d62728", "#ff9896",
+    "#9467bd", "#c5b0d5", "#8c564b", "#c49c94", "#e377c2", "#f7b6d2",
+    "#7f7f7f", "#c7c7c7", "#bcbd22", "#dbdb8d", "#17becf", "#9edae5",
+]
+
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+0\s+R")
+
+
+def _hex_rgb(color: str) -> Tuple[float, float, float]:
+    c = color.lstrip("#")
+    return tuple(int(c[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+
+
+def _resolve_colors(annotations, colors) -> Dict[str, str]:
+    """Reference color assignment (annotations.py:62-67): unique labels
+    in first-encounter order zipped with CATEGORY20, unless given."""
+    unique = list(dict.fromkeys(a[5] for a in annotations))
+    if colors is None:
+        return dict(zip(unique, CATEGORY20))
+    if isinstance(colors, list):
+        return dict(zip(unique, colors))
+    return dict(colors)
+
+
+def annotate_pdf(data: bytes, annotations, colors=None,
+                 line_width: float = 1.5) -> bytes:
+    """Rewrite `data` with rectangle outlines for each annotation
+    (page_num, x0, x1, y0, y1, label) — coordinates normalized with
+    y0=top (extractor output). Streams are re-emitted uncompressed;
+    everything else in the file is preserved byte-for-byte."""
+    pages = parse_pdf(data)  # raises PdfParseError on malformed input
+    cmap = _resolve_colors(annotations, colors)
+
+    # page_num -> contents oid + dims, following parse_pdf's page order
+    objs: Dict[int, bytes] = {}
+    spans: Dict[int, Tuple[int, int]] = {}
+    order: List[int] = []
+    for m in _OBJ_RE.finditer(data):
+        oid = int(m.group(1))
+        objs[oid] = m.group(2)
+        spans[oid] = (m.start(2), m.end(2))
+        order.append(oid)
+
+    page_ids: List[int] = []
+    for oid, body in objs.items():
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                page_ids = [int(r.group(1))
+                            for r in _REF_RE.finditer(km.group(1))]
+            break
+    if not page_ids:
+        page_ids = sorted(
+            oid for oid, body in objs.items()
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
+
+    body_starts = {oid: s for oid, (s, _e) in spans.items()}
+    overlays: Dict[int, bytes] = {}  # contents oid -> ops to append
+    for page_num, pid in enumerate(page_ids):
+        cm = _CONTENTS_RE.search(objs[pid])
+        if cm is None:
+            continue
+        w, h = pages[page_num].width, pages[page_num].height
+        ops: List[str] = []
+        for a in annotations:
+            if a[0] != page_num or a[5] not in cmap:
+                continue
+            r, g, b = _hex_rgb(cmap[a[5]])
+            x0, x1, y0, y1 = a[1], a[2], a[3], a[4]
+            ops.append(
+                f"q {r:g} {g:g} {b:g} RG {line_width:g} w "
+                f"{x0 * w:g} {(1 - y1) * h:g} {(x1 - x0) * w:g} "
+                f"{(y1 - y0) * h:g} re S Q")
+        if ops:
+            overlays[int(cm.group(1))] = "\n".join(ops).encode("latin-1")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: Dict[int, int] = {}
+    for oid in order:
+        offsets[oid] = len(out)
+        if oid in overlays:
+            stream = _stream_for_obj(data, oid, body_starts)
+            stream = stream + b"\n" + overlays[oid]
+            body = (b"<< /Length " + str(len(stream)).encode()
+                    + b" >>\nstream\n" + stream + b"\nendstream")
+        else:
+            body = data[spans[oid][0]:spans[oid][1]]
+        out += f"{oid} 0 obj\n".encode() + body.strip() + b"\nendobj\n"
+
+    rm = _ROOT_RE.search(data)
+    root = int(rm.group(1)) if rm else 1
+    xref_pos = len(out)
+    max_oid = max(order)
+    out += f"xref\n0 {max_oid + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, max_oid + 1):
+        out += (f"{offsets[oid]:010d} 00000 n \n".encode()
+                if oid in offsets else b"0000000000 65535 f \n")
+    out += (f"trailer\n<< /Size {max_oid + 1} /Root {root} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def compare_pdfs(data: bytes, pred, gold, colors=None) -> Tuple[bytes, bytes]:
+    """compare_results analog (annotations.py:86-130): one shared color
+    assignment over pred+gold labels, two annotated PDFs instead of
+    hstacked page images (no PIL here)."""
+    if colors is None:
+        unique = list(dict.fromkeys(
+            [a[5] for a in pred] + [a[5] for a in gold]))
+        colors = dict(zip(unique, CATEGORY20))
+    return (annotate_pdf(data, pred, colors),
+            annotate_pdf(data, gold, colors))

@@ -56,6 +56,36 @@ def text_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# GPT-2-style BPE pre-tokenization pattern, lookaround-free so it runs
+# identically under Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs.
+BPE_SPLIT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
+                     r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens, n_chars, chars_per_bpe_token):
+    corpus sizing for training-data budgets. BPE-ish count = matches of
+    the GPT-2 pre-tokenizer regex (the real merge table only splits
+    WITHIN pre-tokens, so this upper-bounds words and tracks token
+    budgets within a constant factor); whitespace count for contrast.
+    Pure codegen expressions — regexp_count runs JVM-side."""
+    n_bpe = F.regexp_count(F.col(text_col),
+                           F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        (F.length(text_col).cast("bigint")
+         / F.when(n_bpe == 0, F.lit(1).cast("bigint")).otherwise(n_bpe))
+        .alias("chars_per_bpe_token"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Stopword-voting language ID with deterministic tie-break
