@@ -658,6 +658,33 @@ def _freeze_cnn():
 _CNN_WEIGHTS = _freeze_cnn()
 
 
+def _freeze_transformer():
+    from edspdf_spark.kernels.transformer import box_transformer_weights
+
+    return box_transformer_weights(size=EMBED_BOX_SIZE, n_heads=2,
+                                   n_layers=1, n_relative_positions=64,
+                                   init_resweight=0.5, seed=23)
+
+
+_TRANSFORMER_WEIGHTS = _freeze_transformer()
+
+
+def q_bloc_transformer(spark, sf_dir):
+    """rows-only: box-transformer contextualization over box-layout
+    embeddings (attention/softmax are not SQL-expressible; the kernel
+    is covered by structural pytest properties instead)."""
+    from edspdf_spark.operators.embeddings import box_layout_embed
+    from edspdf_spark.operators.transformer import box_transformer_embed
+
+    pages = synth.pages_spark(spark, 40, num_partitions=4)
+    bl = blocs(extract(pages))
+    bl = box_layout_embed(bl, size=EMBED_BOX_SIZE,
+                          n_positions=EMBED_BOX_POSITIONS,
+                          first_page_vec=_EMB_FP, last_page_vec=_EMB_LP)
+    out = box_transformer_embed(bl, _TRANSFORMER_WEIGHTS)
+    return out.select("url", "page_num", "order_idx", "z0", "z1", "z23")
+
+
 def q_bloc_cnn_pool(spark, sf_dir):
     """sub-box-cnn-pooler over simple-text word embeddings (the
     reference's text-encoder wiring, tests/core/config.cfg): integer
@@ -1186,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
         "bloc_cnn_pool": q_bloc_cnn_pool,
+        "bloc_transformer": q_bloc_transformer,
         "trainable_classify": q_trainable_classify,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
