@@ -1,0 +1,64 @@
+"""Stateful streaming dedup (applyInPandasWithState): first-seen
+semantics hold within a micro-batch, across micro-batches, and across
+RESTARTS (checkpointed state)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from edspdf_spark.streaming.stateful import (keyed_hashes,
+                                             run_first_seen_stream)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0, c.encode(), "", None) for u, c in rows],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string")
+
+
+def test_keyed_hashes_sharding(spark):
+    df = _pages(spark, [("u1", "aaa"), ("u2", "aaa"), ("u3", "bbb")])
+    rows = keyed_hashes(df).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["u1"]["content_md5"] == by_url["u2"]["content_md5"]
+    assert by_url["u1"]["shard"] == by_url["u1"]["content_md5"][0]
+    assert len(by_url["u1"]["content_md5"]) == 15
+
+
+def test_first_seen_across_batches_and_restart(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = ("url string, warc_ts timestamp, html binary, text string,"
+              " lang string")
+
+    # batch 1: u2 duplicates u1's content within the batch
+    b1 = _pages(spark, [("u1", "alpha"), ("u2", "alpha"), ("u3", "beta")])
+    b1.write.mode("append").parquet(in_dir)
+    q = run_first_seen_stream(spark, in_dir, out_dir, ck,
+                              spark.read.parquet(in_dir).schema)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got1["content_md5"].unique()) == \
+        sorted(got1["content_md5"].tolist())  # one row per content
+    assert set(got1["content_md5"]) == {
+        r["content_md5"] for r in keyed_hashes(b1).collect()}
+    n1 = len(got1)
+    assert n1 == 2  # alpha once, beta once
+
+    # batch 2 after RESTART: repeats alpha/beta, adds gamma — only
+    # gamma may emit (state survived the checkpoint)
+    b2 = _pages(spark, [("u4", "alpha"), ("u5", "beta"), ("u6", "gamma")])
+    b2.write.mode("append").parquet(in_dir)
+    q2 = run_first_seen_stream(spark, in_dir, out_dir, ck,
+                               spark.read.parquet(in_dir).schema)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert len(got2) == n1 + 1
+    new = got2[~got2["content_md5"].isin(got1["content_md5"])]
+    assert list(new["url"]) == ["u6"]
+    assert bool(new["first_seen"].iloc[0])
