@@ -278,6 +278,8 @@ def _stream_for_obj(data: bytes, oid: int,
 def _decode_pdf_string(raw: bytes) -> str:
     # raw includes surrounding parens
     body = raw[1:-1]
+    if b"\\" not in body:  # fast path: no escapes to process
+        return body.decode("latin-1")
     out = []
     i = 0
     while i < len(body):
@@ -417,8 +419,7 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
             raise PdfParseError("Tj outside BT/ET")
         ensure_line()
         assert cur is not None
-        for ch in text:
-            cur.chars.append((ch, font, True))
+        cur.chars.extend((ch, font, True) for ch in text)
         tx += text_width(text, size)
         cur.x1 = max(cur.x1, tx)
         y_lo = min(y_lo, ty + DESCENT * size / 1000.0)

@@ -24,6 +24,31 @@ _WS = re.compile(r"\s")
 
 StyleSpan = Dict[str, object]  # {italic, bold, begin, end, fontname}
 
+# memoized per-char regex result and per-fontname style bits — pure
+# caches of the exact computations below (chars/fontnames repeat
+# millions of times per batch; capped against adversarial alphabets)
+_WS_CACHE: Dict[str, str] = {}
+_FONT_CACHE: Dict[str, Tuple[bool, bool]] = {}
+
+
+def _ws_norm(raw: str) -> str:
+    v = _WS_CACHE.get(raw)
+    if v is None:
+        v = _WS.sub(" ", raw)
+        if len(_WS_CACHE) < 4096:
+            _WS_CACHE[raw] = v
+    return v
+
+
+def _font_bits(fontname: str) -> Tuple[bool, bool]:
+    v = _FONT_CACHE.get(fontname)
+    if v is None:
+        lowered = fontname.lower()
+        v = ("italic" in lowered, "bold" in lowered)
+        if len(_FONT_CACHE) < 4096:
+            _FONT_CACHE[fontname] = v
+    return v
+
 
 def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
               ) -> Tuple[str, List[StyleSpan]]:
@@ -37,7 +62,7 @@ def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
     last: Optional[Tuple[Optional[str], Optional[bool], Optional[bool]]] = None
 
     for raw, fontname_in, upright in chars:
-        ch = _WS.sub(" ", raw)
+        ch = _ws_norm(raw)
         if not (ch == " " and (text.endswith(" ") or text == "")):
             new_text = text + ch
         else:
@@ -50,9 +75,8 @@ def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
                 fontname, italic, bold = (None, None, None)
         else:
             fontname = fontname_in if fontname_in is not None else ""
-            lowered = (fontname or "").lower()
-            italic = (not upright) or ("italic" in lowered)
-            bold = "bold" in lowered
+            has_italic, bold = _font_bits(fontname)
+            italic = (not upright) or has_italic
 
         key = (fontname, italic, bold)
         if key != last:
