@@ -6,14 +6,16 @@ table sized from sf0.001.
 
 `queries()` / `oracle_sql()` — one entry per implemented operator
 (SURVEY.md §2 + the training-data operator suite). Every query except
-multimodal_meta carries an exact DuckDB oracle — including the full
-PDF/HTML parse pipelines, whose expected output is derived in closed
-form from the synth generator formulas (the corpus is constructed
-inversion-free under the reading-order relation, so generation order
-is reading order). All shared math uses engine-portable constructions
-(md5-prefix BIGINT hashes, integer arithmetic, quantized dot products,
-verbatim float op order, printf('%g') write->read round-trips) so
-value hashes match bit-for-bit.
+multimodal_meta (binary sniffing) and bloc_transformer (attention is
+not SQL-expressible) carries an exact DuckDB oracle — including the
+full PDF/HTML parse pipelines, whose expected output is derived in
+closed form from the synth generator formulas (the corpus is
+constructed inversion-free under the reading-order relation, so
+generation order is reading order). All shared math uses
+engine-portable constructions (md5-prefix BIGINT hashes, integer
+arithmetic, quantized dot products, verbatim float op order,
+printf('%g') write->read round-trips) so value hashes match
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -489,20 +491,30 @@ EMBED_BOX_POSITIONS = 64
 EMBED_TEXT_DIM = 8
 
 
+def _corpus_bloc_texts() -> list:
+    """Bloc texts of the 60-doc synth corpus, extracted ONCE per
+    process (shared by the vocab freeze and the oracle word table)."""
+    if not _CORPUS_TEXTS:
+        from edspdf_spark.kernels.extract import extract_doc
+
+        for i in range(60):
+            res = extract_doc(synth.make_pdf_bytes(i))
+            _CORPUS_TEXTS.extend(b["text"] for b in res["blocs"])
+    return _CORPUS_TEXTS
+
+
+_CORPUS_TEXTS: list = []
+
+
 def _freeze_embeddings():
     """Vocabularies in encounter order over the 60-doc synth corpus +
     frozen integer text weights + box fp/lp vectors."""
     import numpy as np
 
-    from edspdf_spark.kernels.extract import extract_doc
     from edspdf_spark.operators.embeddings import (build_text_vocabs,
                                                    text_embed_weights)
 
-    texts = []
-    for i in range(60):
-        res = extract_doc(synth.make_pdf_bytes(i))
-        texts.extend(b["text"] for b in res["blocs"])
-    vocabs = build_text_vocabs(texts)
+    vocabs = build_text_vocabs(_corpus_bloc_texts())
     weights = text_embed_weights(vocabs, dim=EMBED_TEXT_DIM, seed=42)
     rng = np.random.RandomState(7)
     fp = rng.randn(EMBED_BOX_SIZE)
@@ -525,14 +537,11 @@ def _word_composite() -> dict:
         return _WORD_COMPOSITE_CACHE
     import numpy as np
 
-    from edspdf_spark.kernels.extract import extract_doc
     from edspdf_spark.kernels.textfeatures import token_features
 
     word_set = set()
-    for i in range(60):
-        res = extract_doc(synth.make_pdf_bytes(i))
-        for b in res["blocs"]:
-            word_set.update(b["text"].split(" "))
+    for text in _corpus_bloc_texts():
+        word_set.update(text.split(" "))
     for w in sorted(word_set):
         feats = token_features(w)
         vec = np.zeros(EMBED_TEXT_DIM, dtype=np.int64)
@@ -972,19 +981,24 @@ def _train_centroids(sf_dir: str, n_cells: int = IVF_CELLS):
     return _IVF_CACHE[key]
 
 
+# the coarse quantizer is FROZEN on one corpus sample (production IVF
+# practice: centroids are trained offline and reused across scans) —
+# query and oracle must share it at EVERY sf, or the cell assignments
+# diverge the moment sf_dir != the oracle's training dir
+_IVF_FROZEN_DIR = "/root/testdata/sf0.01"
+
+
 def q_simsearch_ivf(spark, sf_dir):
     from edspdf_spark.operators.simsearch import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, _train_centroids(sf_dir), k=5,
+    return ivf_topk(emb, queries, _train_centroids(_IVF_FROZEN_DIR), k=5,
                     n_probe=IVF_PROBE)
 
 
 def _ivf_oracle() -> str:
-    # the driver compares at sf0.01 — train on that corpus, mirroring
-    # what q_simsearch_ivf(spark, sf0.01) uses
-    cents = _train_centroids("/root/testdata/sf0.01")
+    cents = _train_centroids(_IVF_FROZEN_DIR)
     rows = ", ".join(
         f"({j}, {int(sum(v * v for v in c))}::BIGINT, "
         "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[])"
@@ -1631,10 +1645,11 @@ _ORACLES["bloc_cnn_pool"] = _bloc_cnn_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
-    """The only query absent here is multimodal_meta (binary payload
-    sniffing — not expressible in DuckDB; the driver records a
-    rows-only check for it). Everything else, including the full
-    PDF/HTML parse pipelines, carries an exact closed-form oracle."""
+    """Two queries are absent here by nature: multimodal_meta (binary
+    payload sniffing) and bloc_transformer (attention/softmax) — the
+    driver records rows-only checks for them. Everything else,
+    including the full PDF/HTML parse pipelines, carries an exact
+    closed-form oracle."""
     out = dict(_ORACLES)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()

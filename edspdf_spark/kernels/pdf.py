@@ -195,9 +195,12 @@ class ParsedPage:
     lines: List[ParsedLine] = field(default_factory=list)
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?!\d) pins the match to the FULL number before the indirect-ref
+# rejection — without it, '/Length 12 0 R' backtracks into a bogus
+# match of '1' instead of falling through to the endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _ENDSTREAM_RE = re.compile(rb"(\r\n|\n|\r)?endstream")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
 _MEDIABOX_RE = re.compile(
@@ -223,6 +226,33 @@ _STR_ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",
 }
+
+
+def _scan_objects(data: bytes) -> List[Tuple[int, int, int]]:
+    """Ordered (oid, body_start, body_end) object spans. Stream bodies
+    are jumped over via the dict's /Length, so binary/compressed stream
+    content containing ``endobj``/``N 0 obj`` byte runs can neither
+    truncate an object's span nor spawn phantom objects."""
+    out: List[Tuple[int, int, int]] = []
+    pos = 0
+    n_data = len(data)
+    while True:
+        hm = _OBJ_HDR_RE.search(data, pos)
+        if hm is None:
+            break
+        oid = int(hm.group(1))
+        body_start = hm.end()
+        sm = _STREAM_KW_RE.search(data, body_start)
+        em = data.find(b"endobj", body_start)
+        if sm is not None and (em < 0 or sm.start() < em):
+            lm = _LENGTH_RE.search(data[body_start:sm.start()])
+            scan_from = sm.end() + int(lm.group(1)) if lm else sm.end()
+            em = data.find(b"endobj", min(scan_from, n_data))
+        if em < 0:
+            break  # truncated tail: callers decide whether that matters
+        out.append((oid, body_start, em))
+        pos = em + 6  # len(b"endobj")
+    return out
 
 
 def _stream_for_obj(data: bytes, oid: int,
@@ -324,9 +354,9 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
 
     objs: Dict[int, bytes] = {}
     body_starts: Dict[int, int] = {}  # for stream slicing, one scan total
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
-        body_starts[int(m.group(1))] = m.start(2)
+    for oid, start, end in _scan_objects(data):
+        objs[oid] = data[start:end]
+        body_starts[oid] = start
     if not objs:
         raise PdfParseError("no objects found")
 
@@ -531,14 +561,15 @@ def annotate_pdf(data: bytes, annotations, colors=None,
     pages = parse_pdf(data)  # raises PdfParseError on malformed input
     cmap = _resolve_colors(annotations, colors)
 
-    # page_num -> contents oid + dims, following parse_pdf's page order
+    # page_num -> contents oid + dims, following parse_pdf's page order;
+    # spans come from the stream-aware scan, so binary stream bytes can
+    # neither truncate a copied object nor inject phantom ones
     objs: Dict[int, bytes] = {}
     spans: Dict[int, Tuple[int, int]] = {}
     order: List[int] = []
-    for m in _OBJ_RE.finditer(data):
-        oid = int(m.group(1))
-        objs[oid] = m.group(2)
-        spans[oid] = (m.start(2), m.end(2))
+    for oid, start, end in _scan_objects(data):
+        objs[oid] = data[start:end]
+        spans[oid] = (start, end)
         order.append(oid)
 
     page_ids: List[int] = []

@@ -59,9 +59,11 @@ def text_quality(df: DataFrame, id_col: str = "doc_id",
 # GPT-2-style BPE pre-tokenization pattern, lookaround-free so it runs
 # identically under Java regex (Spark) and RE2 (DuckDB): contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs,
-# whitespace runs.
+# whitespace runs. Whitespace is an EXPLICIT class (Java \s includes
+# \x0B, RE2's does not — a bare \s would un-oracle vertical tabs).
+_WS_CLASS = r" \t\n\x0B\f\r"
 BPE_SPLIT_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
-                     r"| ?[^\s\p{L}\p{N}]+|\s+")
+                     rf"| ?[^{_WS_CLASS}\p{{L}}\p{{N}}]+|[{_WS_CLASS}]+")
 
 
 def token_count(df: DataFrame, id_col: str = "doc_id",

@@ -111,7 +111,9 @@ def box_layout_embed(blocs: DataFrame, size: int = 24,
     Needs columns x0, x1, y0, y1, page_num, num_pages. All four
     coordinate embeddings share ONE sinusoidal table (the reference
     instantiates four identical SinusoidalEmbeddings for mode='sin')."""
-    assert size % 12 == 0 or size % 6 == 0, "size must split over 6 features"
+    # the reference asserts size % 12 == 0 (box_layout_embedding.py:58);
+    # the actual structural requirement is an even split over 6 features
+    assert size % 6 == 0, "size must split over 6 features"
     dim = size // 6
     table = sinusoidal_table(n_positions, dim)
     lit = _lit_matrix(table)
@@ -364,7 +366,10 @@ def embed_from_spec(blocs: DataFrame, spec: Dict,
         mode = spec.get("mode", "sum")
         out = blocs
         prefixes, dims = [], []
-        for i, (name, sub) in enumerate(sorted(spec["encoders"].items())):
+        # DECLARATION order, like the reference combiner iterating
+        # named_component_children() (embedding_combiner.py:66-77) —
+        # 'cat' column order and 'sum' float-add order both depend on it
+        for i, (name, sub) in enumerate(spec["encoders"].items()):
             p = f"_{prefix}enc{i}_"
             out, d = embed_from_spec(out, sub, vocabs, weights, prefix=p)
             if mode == "sum":  # integer text embeds sum with doubles

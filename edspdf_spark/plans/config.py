@@ -116,11 +116,19 @@ def resolve_references(cfg: Dict) -> Dict:
     return walk(cfg, ())
 
 
-def parse_embedding_spec(comp: Dict, name: str = "embedding") -> Dict:
+def parse_embedding_spec(comp: Dict, name: str = "embedding",
+                         _seen: Optional[set] = None) -> Dict:
     """Nested component dict -> embedding spec consumed by
     operators.embeddings.embed_from_spec. Sub-tables with a factory key
     become nested encoder specs (the reference nests encoders the same
     way, tests/core/config.cfg)."""
+    if _seen is None:
+        _seen = set()
+    if id(comp) in _seen:
+        raise ConfigError(
+            f"embedding component cycle detected at '{name}' (a "
+            "${...} reference made a component its own descendant)")
+    _seen = _seen | {id(comp)}
     comp = dict(comp)
     factory = comp.pop("@factory", None) or comp.pop("factory", None)
     if factory in _TORCH_ONLY_FACTORIES:
@@ -135,7 +143,8 @@ def parse_embedding_spec(comp: Dict, name: str = "embedding") -> Dict:
     encoders = {}
     for k, v in comp.items():
         if isinstance(v, dict) and ("factory" in v or "@factory" in v):
-            encoders[k] = parse_embedding_spec(v, name=f"{name}.{k}")
+            encoders[k] = parse_embedding_spec(v, name=f"{name}.{k}",
+                                               _seen=_seen)
         else:
             spec[k] = v
     if encoders:

@@ -70,6 +70,8 @@ def write_files(docs: DataFrame, path: str, *, overwrite: bool = False,
     any local dir; cluster: a shared mount/object store via fuse).
     Annotation-tool round-trips read the dump back with
     readers.read_pdf_files."""
+    from pyspark.sql import functions as F  # noqa: N812
+
     _check_overwrite(path, overwrite)
     os.makedirs(path, exist_ok=True)
     meta = list(meta_cols if meta_cols is not None
@@ -77,6 +79,21 @@ def write_files(docs: DataFrame, path: str, *, overwrite: bool = False,
                       if c not in (filename_col, content_col)])
     cols = [filename_col, content_col, *meta]
     rows = docs.select(*cols)
+
+    # distinct urls may share a basename ('a/doc.pdf' vs 'b/doc.pdf');
+    # a silent last-writer-wins dump would lose documents, so refuse up
+    # front (one cheap distributed agg on the names, never the payload)
+    base = F.element_at(F.split(F.col(filename_col), "/"), -1)
+    # drop only the LAST extension, exactly like rsplit('.', 1) below
+    name = F.regexp_replace(base, r"\.[^.]*$", "")
+    clash = (rows.select(name.alias("_name"))
+             .groupBy("_name").count().where(F.col("count") > 1)
+             .limit(3).collect())
+    if clash:
+        raise ValueError(
+            "write_files filename collisions (distinct rows map to the "
+            "same basename): "
+            + ", ".join(f"{r['_name']} x{r['count']}" for r in clash))
 
     def write_partition(it) -> None:
         for row in it:

@@ -64,6 +64,43 @@ def test_torch_only_factory_raises():
         parse_embedding_spec({"@factory": "box-transformer", "n_layers": 1})
 
 
+def test_embedding_spec_dict_cycle_raises():
+    """Mutually-referencing component dicts (each reference resolves in
+    one string hop, so the string-cycle check can't see it) must raise,
+    not recurse forever."""
+    a = {"factory": "embedding-combiner", "mode": "sum"}
+    b = {"factory": "embedding-combiner", "mode": "sum", "inner": a}
+    a["inner"] = b
+    with pytest.raises(ConfigError, match="cycle"):
+        parse_embedding_spec(a)
+
+
+def test_embed_spec_encoders_keep_declaration_order(spark):
+    """'cat' concatenates encoders in DECLARATION order (reference
+    combiner iterates children in insertion order) — never sorted."""
+    from edspdf_spark.operators.embeddings import embed_from_spec
+
+    df = spark.createDataFrame(
+        [("u", 0, 1, 0.1, 0.2, 0.1, 0.2)],
+        "url string, page_num int, num_pages int, x0 double, x1 double,"
+        " y0 double, y1 double")
+    # 'z_first' sorts after 'a_second' alphabetically; declaration wins
+    spec = {"factory": "embedding-combiner", "mode": "cat",
+            "encoders": {
+                "z_first": {"factory": "box-layout-embedding", "size": 12,
+                            "n_positions": 16},
+                "a_second": {"factory": "box-layout-embedding", "size": 24,
+                             "n_positions": 16},
+            }}
+    out, size = embed_from_spec(df, spec)
+    assert size == 36
+    row = out.collect()[0]
+    from edspdf_spark.operators.embeddings import box_layout_embed
+    first = box_layout_embed(df, size=12, n_positions=16).collect()[0]
+    assert [row[f"e{c}"] for c in range(12)] == \
+        [first[f"b{c}"] for c in range(12)]
+
+
 def test_embed_from_spec_combiner_sum_matches_manual(spark):
     from edspdf_spark.operators.embeddings import (box_layout_embed,
                                                    build_text_vocabs,

@@ -57,6 +57,13 @@ def test_write_files_overwrite_refusal(spark, tmp_path):
     write_files(df, str(out), overwrite=True)
 
 
+def test_write_files_refuses_basename_collisions(spark, tmp_path):
+    rows = [("https://x/a/doc.pdf", b"%PDF-1"), ("https://x/b/doc.pdf", b"%PDF-2")]
+    df = from_iterable(spark, rows)
+    with pytest.raises(ValueError, match="collision"):
+        write_files(df, str(tmp_path / "dump3"))
+
+
 def test_write_files_meta_cols_subset(spark, tmp_path):
     df, _ = _pages(spark, 3)
     out = tmp_path / "dump2"

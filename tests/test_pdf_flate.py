@@ -185,6 +185,33 @@ def test_stream_without_length_falls_back_to_endstream_scan():
     assert _stream_for_obj(blob, 3) == body
 
 
+def test_indirect_length_ref_uses_endstream_fallback():
+    """'/Length 12 0 R' (indirect ref) must not backtrack into a bogus
+    '/Length 1' match — the endstream scan handles it."""
+    body = b"BT /F1 10 Tf ET"
+    blob = (b"%PDF-1.4\n3 0 obj\n<< /Length 12 0 R >>\nstream\n" + body
+            + b"\nendstream\nendobj\n")
+    assert _stream_for_obj(blob, 3) == body
+
+
+def test_scan_objects_skips_binary_stream_bodies():
+    """Stream bytes containing 'endobj' / 'N 0 obj' runs must neither
+    truncate the containing object's span nor spawn phantom objects."""
+    from edspdf_spark.kernels.pdf import _scan_objects
+
+    payload = b"x endobj y 9 0 obj z endstream w"
+    blob = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+            b"3 0 obj\n<< /Type /Page >>\nendobj\n")
+    scanned = _scan_objects(blob)
+    assert [oid for oid, _s, _e in scanned] == [1, 2, 3]
+    # object 2's span must reach past the embedded 'endobj' run
+    _oid, s, e = scanned[1]
+    assert payload in blob[s:e]
+
+
 def test_flate_inside_spark_pipeline(spark):
     """Compressed docs flow through the fused Spark pipeline: the
     compressed doc parses error-free and yields non-empty body text."""
