@@ -1083,6 +1083,55 @@ def q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    from edspdf_spark.operators.analysis import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _winnow_oracle() -> str:
+    """Closed-form winnowing oracle: same rolling-hash + window-minima
+    construction in DuckDB (list ops are eager there, so the direct
+    k-gram formulation is fine); all-integer math => bit-exact."""
+    from edspdf_spark.operators.analysis import (WINNOW_B, WINNOW_K,
+                                                 WINNOW_M, WINNOW_MAX_LEN,
+                                                 WINNOW_W)
+
+    k, w = WINNOW_K, WINNOW_W
+    pows = ", ".join(
+        str(pow(WINNOW_B, j, WINNOW_M)) for j in range(k))
+    kgram_sum = " + ".join(
+        f"cs[s + {j}] * {pow(WINNOW_B, j, WINNOW_M)}" for j in range(k))
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, substring(lower(text), 1, {WINNOW_MAX_LEN}) AS t
+  FROM documents
+  WHERE length(substring(lower(text), 1, {WINNOW_MAX_LEN})) >= {k + w - 1}
+),
+codes AS (
+  SELECT id,
+         list_transform(generate_series(1, length(t)),
+                        i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)) AS cs
+  FROM docs
+),
+hs AS (
+  SELECT c.id, g.s AS pos,
+         ({kgram_sum}) % {WINNOW_M} AS h
+  FROM codes c
+  CROSS JOIN generate_series(1, {WINNOW_MAX_LEN}) g(s)
+  WHERE g.s <= len(c.cs) - {k - 1}
+),
+mins AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY id) AS n_h
+  FROM hs
+)
+SELECT DISTINCT id, fp FROM mins WHERE pos <= n_h - {w - 1}
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML boilerplate-strip path of the fused pipeline; hash-checked
     against the closed-form paragraph oracle."""
@@ -1223,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -1603,6 +1653,7 @@ FROM documents
 
 
 _ORACLES["token_count"] = _token_count_oracle()
+_ORACLES["winnow_fingerprints"] = _winnow_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

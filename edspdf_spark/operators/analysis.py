@@ -124,3 +124,80 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         code15(F.lower(F.col(text_col))).alias("content_code"),
         F.length(text_col).cast("bigint").alias("n_chars"),
     )
+
+
+# winnowing parameters: k-gram length, window width, polynomial base
+# and modulus. B^j is precomputed mod M so every intermediate stays
+# far below BIGINT range (sum of k terms < k * M * B).
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_M = 1_000_003
+
+
+WINNOW_MAX_LEN = 8192  # longest doc the literal power tables cover
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local algorithm): polynomial rolling hash over character k-grams,
+    then the DISTINCT minima of every w-wide window — the guarantee is
+    that any match of length >= w+k-1 between two documents shares at
+    least one selected fingerprint, at ~1/w the k-gram count.
+
+    One row per (id, fp). Physical shape: posexplode chars -> running
+    modular prefix sum + lead() over a per-doc window -> w-row min
+    window -> distinct. One shuffle on id (the window), all integer
+    column math — no Python, and no per-element re-evaluation of
+    captured array expressions (the nested-lambda formulation is
+    quadratic in Spark's interpreter). The k-gram hash is recovered
+    from prefix sums via modular inverse powers:
+        H_t = (S_{t+k-1} - S_{t-1}) * B^{-(t-1)}  (mod M)
+    with B^j and B^{-j} mod M shipped as literal arrays. Texts longer
+    than WINNOW_MAX_LEN are truncated to it (documented cap; the
+    corpus case for longer docs is chunking upstream)."""
+    from pyspark.sql import Window
+
+    inv_b = pow(WINNOW_B, WINNOW_M - 2, WINNOW_M)  # M prime
+    spark = df.sparkSession
+    pow_df = F.broadcast(spark.createDataFrame(
+        [(j, pow(WINNOW_B, j, WINNOW_M), pow(inv_b, j, WINNOW_M))
+         for j in range(WINNOW_MAX_LEN)],
+        "pos0 int, p bigint, ip bigint"))
+
+    text = F.substring(F.lower(F.col(text_col)), 1, WINNOW_MAX_LEN)
+    n = F.length(text)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.ascii(F.substr(text, i, F.lit(1))).cast("bigint"))
+
+    chars = (df.where(n >= k + w - 1)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(codes).alias("pos0", "code"))
+             .join(pow_df, "pos0"))
+    # term_u = code_u * B^(u-1) mod M  (pos0 is 0-based => exponent pos0)
+    term = (F.col("code") * F.col("p")) % WINNOW_M
+    by_pos = Window.partitionBy("id").orderBy("pos0")
+    run = chars.withColumn(
+        "s", F.sum(term).over(
+            by_pos.rowsBetween(Window.unboundedPreceding, 0)))
+    # H_t for t = pos0+1: (S_{t+k-1} - S_{t-1}) * invB^(t-1) mod M
+    s_hi = F.lead("s", k - 1).over(by_pos)
+    s_lo = F.lag("s", 1).over(by_pos)
+    h = F.pmod(
+        F.pmod(s_hi - F.coalesce(s_lo, F.lit(0).cast("bigint")),
+               F.lit(WINNOW_M))
+        * F.col("ip"),
+        F.lit(WINNOW_M))
+    hashes = (run.withColumn("h", h)
+              .where(F.col("h").isNotNull()))
+    # w-window minima; only windows fully inside the hash sequence
+    win_min = F.min("h").over(by_pos.rowsBetween(0, w - 1))
+    n_hashes = F.count("h").over(Window.partitionBy("id"))
+    mins = (hashes
+            .withColumn("fp", win_min)
+            .withColumn("_n", n_hashes)
+            .where(F.col("pos0") < F.col("_n") - (w - 1)))
+    return mins.select("id", "fp").distinct()

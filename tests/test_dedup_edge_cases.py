@@ -48,3 +48,31 @@ def test_short_docs_shingle_pipeline(spark):
     from collections import Counter
     got_counts = Counter(i for i, _c in got)
     assert dict(got_counts) == want
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing's core guarantee: two documents sharing a substring of
+    length >= w + k - 1 share at least one selected fingerprint."""
+    from edspdf_spark.operators.analysis import (WINNOW_K, WINNOW_W,
+                                                 winnow_fingerprints)
+
+    shared = "the quick brown fox jumps over it"  # > k + w - 1 chars
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"), (2, "xyzzy " + shared + " qq")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    f1 = {r["fp"] for r in fps if r["id"] == 1}
+    f2 = {r["fp"] for r in fps if r["id"] == 2}
+    assert f1 & f2, "no shared fingerprint for a long shared substring"
+
+
+def test_winnowing_short_docs_dropped(spark):
+    from edspdf_spark.operators.analysis import (WINNOW_K, WINNOW_W,
+                                                 winnow_fingerprints)
+
+    df = spark.createDataFrame(
+        [(1, "x" * (WINNOW_K + WINNOW_W - 2)), (2, "y" * 40)],
+        "doc_id long, text string")
+    got = winnow_fingerprints(df).collect()
+    assert {r["id"] for r in got} == {2}
