@@ -170,6 +170,35 @@ def build_text_vocabs(texts) -> Dict[str, Vocabulary]:
     return vocabs
 
 
+def save_vocabs(vocabs: Dict[str, Vocabulary], path: str) -> None:
+    """Persist each family's indices as `<family>_voc.json` — the
+    reference's to_disk layout (simple_text_embedding.py:157-172)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for fam, voc in vocabs.items():
+        with open(os.path.join(path, f"{fam}_voc.json"), "w") as f:
+            json.dump(voc.indices, f)
+
+
+def load_vocabs(path: str, families: Sequence[str] = FEATURE_FAMILIES,
+                default: int = 0) -> Dict[str, Vocabulary]:
+    """Load `<family>_voc.json` files back into Vocabularies
+    (simple_text_embedding.py:174-196)."""
+    import json
+    import os
+
+    out: Dict[str, Vocabulary] = {}
+    for fam in families:
+        with open(os.path.join(path, f"{fam}_voc.json")) as f:
+            indices = json.load(f)
+        v = Vocabulary(default=default)
+        v.indices = {str(k): int(i) for k, i in indices.items()}
+        out[fam] = v
+    return out
+
+
 def build_vocab_distributed(df: DataFrame, col: str,
                             first_items: Sequence[str] = ("__unk__",)
                             ) -> DataFrame:

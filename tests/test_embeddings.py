@@ -131,6 +131,17 @@ def test_text_token_embed_oov_uses_unk():
     assert vocabs["prefix"].encode("zzz") == 0  # __unk__
 
 
+def test_vocab_disk_roundtrip(tmp_path):
+    from edspdf_spark.operators.embeddings import load_vocabs, save_vocabs
+
+    vocabs = build_text_vocabs(["alpha beta Gamma 42"])
+    save_vocabs(vocabs, str(tmp_path / "voc"))
+    back = load_vocabs(str(tmp_path / "voc"))
+    for fam in ("shape", "prefix", "suffix"):
+        assert back[fam].indices == vocabs[fam].indices
+        assert back[fam].encode("__never_seen__") == 0  # unk default
+
+
 def test_build_vocab_distributed_sorted_ids(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "item string")
     got = {r["item"]: r["id"]
