@@ -151,6 +151,44 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_winnow_fingerprints_plan(spark):
+    """Winnowing is pure column math: powers arrive as ONE broadcast,
+    the per-doc window is the only real shuffle, no Python anywhere."""
+    from edspdf_spark.operators.analysis import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "hello world this is a document with text")],
+        "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(df))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_token_count_is_scan_local(spark):
+    """token_count is a pure projection: zero shuffles, zero Python."""
+    from edspdf_spark.operators.analysis import token_count
+
+    df = spark.createDataFrame([(1, "some text 42")],
+                               "doc_id long, text string")
+    plan = _plan(token_count(df))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_bloc_embed_python_stages_are_bounded(spark):
+    """The bloc-embedding chain has exactly TWO Python stages (extract
+    parse + text-embed kernel); the box-layout embedding adds native
+    expressions only, and the chain stays shuffle-free."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_bloc_embed(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert plan.count("MapInPandas") + plan.count("PythonMapInArrow") == 3, \
+        plan  # synth generator + extract + text embed
+    assert "Exchange" not in plan, plan
+
+
 def test_connected_components_lineage_is_truncated(spark):
     """After convergence the result plan must be a checkpoint scan,
     not a nested join tree (the OOM failure mode)."""
