@@ -92,13 +92,18 @@ def _esc(s: str) -> str:
 
 def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
               page_height: float = PAGE_HEIGHT,
-              compress: bool = False) -> bytes:
+              compress: bool = False, objstm: bool = False) -> bytes:
     """Serialize pages of Lines into deterministic PDF bytes.
 
     Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4, then for each
     page two objects (Page, Contents). Offsets in the xref are exact.
     With ``compress=True`` content streams are FlateDecode (zlib level
-    6 — deterministic), exercising the parser's compressed path.
+    6 — deterministic), exercising the parser's compressed path. With
+    ``objstm=True`` every dictionary object (catalog, pages tree,
+    fonts, page dicts) is packed into ONE FlateDecode /ObjStm object —
+    the PDF-1.5 layout most real-world writers emit — leaving only the
+    content streams as classic top-level objects (streams may not live
+    inside an object stream, per spec).
     """
     n_pages = len(pages)
     font_objs = list(FONTS.items())  # 4 fonts -> objects 3..6
@@ -139,19 +144,45 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
         objects.append(page_dict)
         objects.append(stream_obj)
 
+    numbered = list(enumerate(objects, start=1))
+    if objstm:
+        # dict objects (no stream keyword) -> one compressed /ObjStm;
+        # content streams stay top-level (spec: no streams in ObjStm)
+        in_stream = [(oid, body) for oid, body in numbered
+                     if b"stream" not in body]
+        top_level = [(oid, body) for oid, body in numbered
+                     if b"stream" in body]
+        header_parts: List[str] = []
+        payload = bytearray()
+        for oid, body in in_stream:
+            header_parts.append(f"{oid} {len(payload)}")
+            payload += body + b"\n"
+        header = (" ".join(header_parts) + "\n").encode()
+        content = zlib.compress(header + bytes(payload), 6)
+        stm_oid = len(objects) + 1
+        stm = (f"<< /Type /ObjStm /N {len(in_stream)} "
+               f"/First {len(header)} /Length {len(content)} "
+               f"/Filter /FlateDecode >>\nstream\n").encode()
+        numbered = [(stm_oid, stm + content + b"\nendstream")] + top_level
+
     out = bytearray()
-    out += b"%PDF-1.4\n"
-    offsets = []
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"%PDF-1.4\n" if not objstm else b"%PDF-1.5\n"
+    offsets: Dict[int, int] = {}
+    for oid, body in numbered:
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + body + b"\nendobj\n"
+    max_oid = max(oid for oid, _ in numbered) if numbered else 0
     xref_pos = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += f"xref\n0 {max_oid + 1}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
+    for oid in range(1, max_oid + 1):
+        # in-ObjStm objects get free entries here: a spec-complete file
+        # would carry an xref STREAM for them, but this parser (and the
+        # scan-based repair path of real readers) never consults xref
+        out += (f"{offsets[oid]:010d} 00000 n \n".encode()
+                if oid in offsets else b"0000000000 65535 f \n")
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {max_oid + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -253,6 +284,28 @@ def _scan_objects(data: bytes) -> List[Tuple[int, int, int]]:
         out.append((oid, body_start, em))
         pos = em + 6  # len(b"endobj")
     return out
+
+
+def _expand_objstms(data: bytes, objs: Dict[int, bytes],
+                    body_starts: Dict[int, int]) -> None:
+    """Expand PDF-1.5 object streams in-place: /ObjStm packs dictionary
+    objects (never stream objects) as 'oid1 off1 oid2 off2 ...<bodies>'
+    with body offsets relative to /First."""
+    for oid in [o for o, b in objs.items() if b"/ObjStm" in b]:
+        stream = _stream_for_obj(data, oid, body_starts)
+        nm = re.search(rb"/N\s+(\d+)", objs[oid])
+        fm = re.search(rb"/First\s+(\d+)", objs[oid])
+        if nm is None or fm is None:
+            raise PdfParseError("ObjStm without /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = stream[:first].split()
+        if len(pairs) < 2 * n:
+            raise PdfParseError("ObjStm header shorter than /N entries")
+        entries = [(int(pairs[2 * j]), int(pairs[2 * j + 1]))
+                   for j in range(n)]
+        for j, (sub_oid, off) in enumerate(entries):
+            end = entries[j + 1][1] if j + 1 < n else len(stream) - first
+            objs[sub_oid] = stream[first + off:first + end]
 
 
 def _stream_for_obj(data: bytes, oid: int,
@@ -359,6 +412,8 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
         body_starts[oid] = start
     if not objs:
         raise PdfParseError("no objects found")
+
+    _expand_objstms(data, objs, body_starts)
 
     # BaseFont names by object id
     fonts_by_obj: Dict[int, str] = {}
@@ -571,6 +626,11 @@ def annotate_pdf(data: bytes, annotations, colors=None,
         objs[oid] = data[start:end]
         spans[oid] = (start, end)
         order.append(oid)
+    # ObjStm sub-objects join `objs` for page/contents LOOKUP only —
+    # dict objects are copied through unmodified inside their stream,
+    # so re-emission still walks `order` (top-level objects)
+    body_starts = {oid: s for oid, (s, _e) in spans.items()}
+    _expand_objstms(data, objs, body_starts)
 
     page_ids: List[int] = []
     for oid, body in objs.items():
@@ -585,7 +645,6 @@ def annotate_pdf(data: bytes, annotations, colors=None,
             oid for oid, body in objs.items()
             if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
 
-    body_starts = {oid: s for oid, (s, _e) in spans.items()}
     overlays: Dict[int, bytes] = {}  # contents oid -> ops to append
     for page_num, pid in enumerate(page_ids):
         cm = _CONTENTS_RE.search(objs[pid])

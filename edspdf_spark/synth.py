@@ -17,6 +17,9 @@ Per-doc recipe (seed = doc index i, no RNG state shared across docs):
 * every 17th doc: oversized (max pages, 30+ lines/page) for skew tests
 * every 5th doc (i%5==2): FlateDecode-compressed content streams —
   the compressed-parse path runs inside every e2e pipeline
+* every 9th doc (i%9==4): PDF-1.5 /ObjStm layout (dict objects packed
+  into one compressed object stream) — the other ubiquitous real-PDF
+  structure, also exercised inside every e2e pipeline
 """
 
 from __future__ import annotations
@@ -112,7 +115,7 @@ def make_pdf_bytes(i: int) -> bytes:
             text=f"footer {i % 100}", size=8.0))
         pages.append(lines)
 
-    data = build_pdf(pages, compress=(i % 5) == 2)
+    data = build_pdf(pages, compress=(i % 5) == 2, objstm=(i % 9) == 4)
     if (i % 13) == 0 and i > 0:
         return data[:100]  # deliberately corrupt
     return data

@@ -21,7 +21,7 @@ def _annotations(data):
             for b in res["blocs"]]
 
 
-@pytest.mark.parametrize("i", [1, 2, 7, 17])  # raw, compressed, styled, big
+@pytest.mark.parametrize("i", [1, 2, 4, 7, 17, 22])  # raw/flate/objstm mix
 def test_annotate_preserves_extraction(i):
     data = synth.make_pdf_bytes(i)
     ann = annotate_pdf(data, _annotations(data))

@@ -113,6 +113,41 @@ def test_golden_blocs_doc2_compressed():
     assert hashlib.md5(repr(got).encode()).hexdigest() == DOC2_BLOCS_MD5
 
 
+# ---------------------------------------------------------------------------
+# PDF-1.5 object streams (/ObjStm)
+# ---------------------------------------------------------------------------
+
+def test_objstm_roundtrip_bit_identical():
+    pages = _fixture_pages()
+    plain = build_pdf(pages)
+    for comp in (False, True):
+        packed = build_pdf(pages, compress=comp, objstm=True)
+        assert b"/ObjStm" in packed and packed.startswith(b"%PDF-1.5")
+        assert extract_doc(packed, extract_style=True) == \
+            extract_doc(plain, extract_style=True)
+
+
+def test_synth_corpus_contains_objstm_docs():
+    assert b"/ObjStm" in synth.make_pdf_bytes(4)   # i % 9 == 4
+    assert b"/ObjStm" in synth.make_pdf_bytes(22)  # objstm AND compressed
+    assert b"/FlateDecode" in synth.make_pdf_bytes(22)
+    assert b"/ObjStm" not in synth.make_pdf_bytes(1)
+    res = extract_doc(synth.make_pdf_bytes(4))
+    assert not res["error"] and len(res["blocs"]) > 0
+
+
+def test_objstm_malformed_headers_raise():
+    blob = build_pdf(_fixture_pages(), objstm=True)
+    with pytest.raises(PdfParseError, match="/N or /First"):
+        parse_pdf(blob.replace(b"/First", b"/Fjrst", 1))
+    import re as _re
+    bad_n = _re.sub(rb"/ObjStm /N (\d+)",
+                    lambda m: b"/ObjStm /N %d" % (int(m.group(1)) + 99),
+                    blob, count=1)
+    with pytest.raises(PdfParseError, match="shorter than /N"):
+        parse_pdf(bad_n)
+
+
 def test_synth_corpus_inversion_free():
     """The synth layouts are inversion-free under the reference
     Box.__lt__ relation: generation order IS reading order (Timsort
