@@ -245,6 +245,7 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _TOKEN_RE = re.compile(
     rb"""
       (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<hex><[0-9A-Fa-f\s]*>)
     | (?P<name>/[^\s/\[\]()<>]+)
     | (?P<num>[-+]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<arr>[\[\]])
@@ -516,6 +517,13 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
         tok = m.group(0)
         if kind == "str":
             stack.append(_decode_pdf_string(tok))
+        elif kind == "hex":
+            # <48656C6C6F> hex string; odd digit count pads with 0
+            digits = b"".join(tok[1:-1].split())
+            if len(digits) % 2:
+                digits += b"0"
+            stack.append(bytes.fromhex(digits.decode("ascii"))
+                         .decode("latin-1"))
         elif kind == "name":
             stack.append(tok[1:].decode("latin-1"))
         elif kind == "num":

@@ -113,6 +113,19 @@ def test_golden_blocs_doc2_compressed():
     assert hashlib.md5(repr(got).encode()).hexdigest() == DOC2_BLOCS_MD5
 
 
+def test_hex_strings_in_content_streams():
+    """<hex> strings (the other PDF string syntax) decode in Tj/TJ,
+    with whitespace tolerated and odd digit counts zero-padded."""
+    from edspdf_spark.kernels.pdf import _run_content
+
+    lines = _run_content(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm <48656C6C6F> Tj "
+        b"[(mix) <2077 6F72 6C64> (!)] TJ ET", {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "Hellomix world!"
+    lines = _run_content(b"BT /F1 10 Tf <484> Tj ET", {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "H@"
+
+
 # ---------------------------------------------------------------------------
 # PDF-1.5 object streams (/ObjStm)
 # ---------------------------------------------------------------------------

@@ -166,3 +166,40 @@ def _agg_naive(lines, nl=0.2, np_=1.5):
 def test_aggregate_matches_naive_separators(lines):
     got = aggregate_doc(lines)["body"]["text"]
     assert got == _agg_naive(lines)
+
+
+# --- annotation overlays never perturb extraction ---------------------
+
+@st.composite
+def synth_pages(draw):
+    """1-2 pages of 1-5 plain lines at safe in-bounds positions."""
+    pages = []
+    for _p in range(draw(st.integers(1, 2))):
+        lines = []
+        for _i in range(draw(st.integers(1, 5))):
+            x = draw(st.integers(40, 400))
+            y = draw(st.integers(60, 720))
+            size = draw(st.sampled_from([8.0, 10.0, 12.0]))
+            text = draw(st.text(
+                alphabet="abcXYZ 019()\\", min_size=1, max_size=24))
+            lines.append(_Line.simple(float(x), float(y), text, size=size))
+        pages.append(lines)
+    return pages
+
+
+from edspdf_spark.kernels.pdf import Line as _Line  # noqa: E402
+from edspdf_spark.kernels.pdf import annotate_pdf, build_pdf  # noqa: E402
+from edspdf_spark.kernels.extract import extract_doc  # noqa: E402
+
+
+@given(pages=synth_pages(), compress=st.booleans(), objstm=st.booleans(),
+       boxes_=boxes(min_size=0, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_annotate_is_extraction_invariant(pages, compress, objstm, boxes_):
+    """Whatever rectangles are drawn, over any writer layout variant,
+    extraction output is byte-identical to the unannotated file."""
+    data = build_pdf(pages, compress=compress, objstm=objstm)
+    anns = [(p, x0, x1, y0, y1, "body") for p, x0, x1, y0, y1 in boxes_]
+    annotated = annotate_pdf(data, anns)
+    assert extract_doc(annotated, extract_style=True) == \
+        extract_doc(data, extract_style=True)
