@@ -74,3 +74,29 @@ def test_tokenizer_covers_non_space_chars(s):
     feats = text_token_features(s)
     assert all(set(f) == {"shape", "prefix", "suffix", "norm"}
                for f in feats)
+
+
+def test_word_regex_matches_reference_source():
+    """The tokenizer pattern is transcribed from the reference
+    (simple_text_embedding.py:108-113); pin the transcription to the
+    reference's own source strings so drift cannot go unnoticed (the
+    module itself imports torch, so it cannot be loaded live)."""
+    import re
+
+    from edspdf_spark.kernels.textfeatures import (WORD_REGEX, _DEFAULT,
+                                                   _NUM_LIKE, _PUNCT)
+
+    src = open("/root/reference/edspdf/pipes/embeddings/"
+               "simple_text_embedding.py").read()
+    ref_punct = re.search(
+        r'punct = "\[:punct:\]" \+ "(.*?)"\n', src).group(1)
+    assert _PUNCT == "[:punct:]" + ref_punct.replace('\\"', '"')
+    ref_num = re.search(r'num_like = r"(.*?)"\n', src).group(1)
+    assert _NUM_LIKE == ref_num
+    ref_default = re.search(r'default = rf"(.*?)"\n', src).group(1)
+    assert _DEFAULT == ref_default.replace("{punct}", _PUNCT)
+    # the assembled pattern must be literally identical
+    ref_pattern = (rf"({ref_num}|[{_PUNCT}]|[\n\r\t]|[^\S\r\n\t]+|"
+                   + ref_default.replace("{punct}", _PUNCT) + r")"
+                   + r"([^\S\r\n\t])?")
+    assert WORD_REGEX.pattern == ref_pattern
