@@ -254,6 +254,12 @@ _TOKEN_RE = re.compile(
     re.X,
 )
 
+class _ArrayMarker:
+    __slots__ = ()
+
+
+_ARR_MARKER = _ArrayMarker()
+
 _STR_ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",
@@ -292,18 +298,29 @@ def _expand_objstms(data: bytes, objs: Dict[int, bytes],
     """Expand PDF-1.5 object streams in-place: /ObjStm packs dictionary
     objects (never stream objects) as 'oid1 off1 oid2 off2 ...<bodies>'
     with body offsets relative to /First."""
-    for oid in [o for o, b in objs.items() if b"/ObjStm" in b]:
+    def _dict_head(body: bytes) -> bytes:
+        # only the dict BEFORE the stream keyword identifies the type —
+        # stream/text content may contain '/ObjStm' as data
+        sm = _STREAM_KW_RE.search(body)
+        return body[:sm.start()] if sm else body
+
+    for oid in [o for o, b in objs.items()
+                if b"/ObjStm" in _dict_head(b)]:
+        head = _dict_head(objs[oid])
         stream = _stream_for_obj(data, oid, body_starts)
-        nm = re.search(rb"/N\s+(\d+)", objs[oid])
-        fm = re.search(rb"/First\s+(\d+)", objs[oid])
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
         if nm is None or fm is None:
             raise PdfParseError("ObjStm without /N or /First")
         n, first = int(nm.group(1)), int(fm.group(1))
         pairs = stream[:first].split()
         if len(pairs) < 2 * n:
             raise PdfParseError("ObjStm header shorter than /N entries")
-        entries = [(int(pairs[2 * j]), int(pairs[2 * j + 1]))
-                   for j in range(n)]
+        try:
+            entries = [(int(pairs[2 * j]), int(pairs[2 * j + 1]))
+                       for j in range(n)]
+        except ValueError as exc:
+            raise PdfParseError(f"bad ObjStm header token: {exc}")
         for j, (sub_oid, off) in enumerate(entries):
             end = entries[j + 1][1] if j + 1 < n else len(stream) - first
             objs[sub_oid] = stream[first + off:first + end]
@@ -529,7 +546,8 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
         elif kind == "num":
             stack.append(float(tok))
         elif kind == "arr":
-            stack.append(tok.decode())
+            stack.append(_ARR_MARKER)  # sentinel: a '[' STRING (hex
+            # or escaped) must remain distinguishable from delimiters
         elif kind == "op":
             op = tok.decode()
             if op == "BT":
@@ -570,7 +588,7 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
                 stack.clear()
             elif op == "TJ":
                 for item in stack:
-                    if isinstance(item, str) and item not in ("[", "]"):
+                    if isinstance(item, str):
                         show(item)
                 stack.clear()
             else:
@@ -672,7 +690,10 @@ def annotate_pdf(data: bytes, annotations, colors=None,
         if ops:
             overlays[int(cm.group(1))] = "\n".join(ops).encode("latin-1")
 
-    out = bytearray(b"%PDF-1.4\n")
+    # preserve the input's version header (an /ObjStm file is 1.5)
+    hdr_end = data.find(b"\n")
+    out = bytearray(data[:hdr_end + 1] if 0 < hdr_end < 32
+                    else b"%PDF-1.4\n")
     offsets: Dict[int, int] = {}
     for oid in order:
         offsets[oid] = len(out)

@@ -149,6 +149,34 @@ def test_synth_corpus_contains_objstm_docs():
     assert not res["error"] and len(res["blocs"]) > 0
 
 
+def test_objstm_substring_in_text_is_not_an_objstm():
+    """'/ObjStm' appearing in TEXT (or stream data) must not trigger
+    object-stream expansion — only the dict before `stream` counts."""
+    for comp in (False, True):
+        data = build_pdf([[Line.simple(72, 700, "see /ObjStm spec")]],
+                         compress=comp)
+        res = extract_doc(data)
+        assert not res["error"]
+        assert res["blocs"][0]["text"] == "see /ObjStm spec"
+
+
+def test_hex_bracket_string_survives_tj_array():
+    from edspdf_spark.kernels.pdf import _run_content
+
+    lines = _run_content(b"BT /F1 10 Tf [(A) <5B> (B)] TJ ET",
+                         {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "A[B"
+
+
+def test_annotate_preserves_version_header():
+    from edspdf_spark.kernels.pdf import annotate_pdf
+
+    blob = build_pdf(_fixture_pages(), objstm=True)
+    ann = annotate_pdf(blob, [(0, 0.1, 0.5, 0.1, 0.2, "body")])
+    assert ann.startswith(b"%PDF-1.5")
+    assert extract_doc(ann) == extract_doc(blob)
+
+
 def test_objstm_malformed_headers_raise():
     blob = build_pdf(_fixture_pages(), objstm=True)
     with pytest.raises(PdfParseError, match="/N or /First"):
