@@ -102,9 +102,11 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    headline = ["dedup_exact", "dedup_minhash_lsh", "simsearch_topk",
-                "text_quality", "lang_id", "fingerprint", "events_hourly",
-                "tpch_q1", "mask_classify", "aggregate_lines"]
+    headline = ["dedup_exact", "dedup_minhash_lsh", "dedup_components",
+                "simsearch_topk", "simsearch_ivf", "winnow_fingerprints",
+                "text_quality", "lang_id", "fingerprint", "token_count",
+                "events_hourly", "tpch_q1", "mask_classify",
+                "aggregate_lines"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -92,9 +92,40 @@ def _cell_dists(centroids, qv_col="qv"):
 
 
 def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
-    """Add `cell` = argmin_j d_j (smallest-j tie-break)."""
-    return df.withColumn("cell",
-                         F.array_min(_cell_dists(centroids, qv_col))["j"])
+    """Add `cell` = argmin_j d_j (smallest-j tie-break).
+
+    Corpus-side assignment is the N x K x D hot loop, so it runs as
+    posexplode + broadcast component join + two codegen aggregations
+    (sum-product, then min_by argmin) instead of higher-order-function
+    lambdas — Spark's HOF interpreter is ~100x slower than whole-stage
+    codegen for this shape (measured: 9 s -> sub-second at 2k x 64 x 64).
+    Tie-break matches array_min over (d, j) structs: min_by on
+    struct(d, cell) takes the smallest cell among equal distances."""
+    spark = df.sparkSession
+    comp_rows = [(j, p, int(v)) for j, c in enumerate(centroids)
+                 for p, v in enumerate(c)]
+    comps = F.broadcast(spark.createDataFrame(
+        comp_rows, "cell int, pos int, cval bigint"))
+    n2 = F.broadcast(spark.createDataFrame(
+        [(j, int(sum(v * v for v in c))) for j, c in enumerate(centroids)],
+        "cell int, cn2 bigint"))
+
+    # explicit width: the corpus parquet is small in BYTES, so AQE/file
+    # splitting would run the N x K x D compute in one task (same trap
+    # as plans/salt.py — byte heuristics can't see arithmetic cost)
+    width = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(width).select(
+        "*", F.posexplode(F.col(qv_col)).alias("pos", "_x"))
+    dots = (exploded.join(comps, "pos")
+            .groupBy(*df.columns, "cell")
+            .agg(F.sum(F.col("_x") * F.col("cval")).alias("_dot"))
+            .join(n2, "cell")
+            .withColumn("_d", F.col("cn2")
+                        - F.lit(2).cast("bigint") * F.col("_dot")))
+    return (dots.groupBy(*df.columns)
+            .agg(F.min_by(F.col("cell"),
+                          F.struct(F.col("_d"), F.col("cell")))
+                 .alias("cell")))
 
 
 def _with_probes(df: DataFrame, centroids, n_probe: int,
