@@ -294,10 +294,13 @@ def _scan_objects(data: bytes) -> List[Tuple[int, int, int]]:
 
 
 def _expand_objstms(data: bytes, objs: Dict[int, bytes],
-                    body_starts: Dict[int, int]) -> None:
+                    body_starts: Dict[int, int]) -> Dict[int, List[int]]:
     """Expand PDF-1.5 object streams in-place: /ObjStm packs dictionary
     objects (never stream objects) as 'oid1 off1 oid2 off2 ...<bodies>'
-    with body offsets relative to /First."""
+    with body offsets relative to /First. Returns the containment map
+    {objstm_oid: [member oids]} so re-writers (annotate_pdf) can expand
+    members to top-level classic objects."""
+    members: Dict[int, List[int]] = {}
     def _dict_head(body: bytes) -> bytes:
         # only the dict BEFORE the stream keyword identifies the type —
         # stream/text content may contain '/ObjStm' as data
@@ -324,6 +327,8 @@ def _expand_objstms(data: bytes, objs: Dict[int, bytes],
         for j, (sub_oid, off) in enumerate(entries):
             end = entries[j + 1][1] if j + 1 < n else len(stream) - first
             objs[sub_oid] = stream[first + off:first + end]
+        members[oid] = [e[0] for e in entries]
+    return members
 
 
 def _stream_for_obj(data: bytes, oid: int,
@@ -590,6 +595,10 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
                 for item in stack:
                     if isinstance(item, str):
                         show(item)
+                    elif isinstance(item, float):
+                        # standard TJ kerning: a number n translates the
+                        # text matrix by -n/1000*size (horizontal writing)
+                        tx -= item / 1000.0 * size
                 stack.clear()
             else:
                 stack.clear()
@@ -652,11 +661,13 @@ def annotate_pdf(data: bytes, annotations, colors=None,
         objs[oid] = data[start:end]
         spans[oid] = (start, end)
         order.append(oid)
-    # ObjStm sub-objects join `objs` for page/contents LOOKUP only —
-    # dict objects are copied through unmodified inside their stream,
-    # so re-emission still walks `order` (top-level objects)
+    # ObjStm sub-objects join `objs` for page/contents lookup AND for
+    # re-emission: members are expanded to top-level classic objects in
+    # the output (the container is dropped), so the classic xref we
+    # write covers the catalog/page dicts — spec-compliant viewers that
+    # trust the xref can locate them, not just scan-based repair readers
     body_starts = {oid: s for oid, (s, _e) in spans.items()}
-    _expand_objstms(data, objs, body_starts)
+    stm_members = _expand_objstms(data, objs, body_starts)
 
     page_ids: List[int] = []
     for oid, body in objs.items():
@@ -696,6 +707,15 @@ def annotate_pdf(data: bytes, annotations, colors=None,
                     else b"%PDF-1.4\n")
     offsets: Dict[int, int] = {}
     for oid in order:
+        if oid in stm_members:
+            # expand the ObjStm: members become classic objects (they
+            # are dict objects by spec, so this is always legal) and
+            # the now-redundant container is not re-emitted
+            for sub_oid in stm_members[oid]:
+                offsets[sub_oid] = len(out)
+                out += (f"{sub_oid} 0 obj\n".encode()
+                        + objs[sub_oid].strip() + b"\nendobj\n")
+            continue
         offsets[oid] = len(out)
         if oid in overlays:
             stream = _stream_for_obj(data, oid, body_starts)
@@ -709,7 +729,7 @@ def annotate_pdf(data: bytes, annotations, colors=None,
     rm = _ROOT_RE.search(data)
     root = int(rm.group(1)) if rm else 1
     xref_pos = len(out)
-    max_oid = max(order)
+    max_oid = max(offsets)
     out += f"xref\n0 {max_oid + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for oid in range(1, max_oid + 1):

@@ -94,38 +94,56 @@ def _cell_dists(centroids, qv_col="qv"):
 def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
     """Add `cell` = argmin_j d_j (smallest-j tie-break).
 
-    Corpus-side assignment is the N x K x D hot loop, so it runs as
-    posexplode + broadcast component join + two codegen aggregations
-    (sum-product, then min_by argmin) instead of higher-order-function
-    lambdas — Spark's HOF interpreter is ~100x slower than whole-stage
-    codegen for this shape (measured: 9 s -> sub-second at 2k x 64 x 64).
-    Tie-break matches array_min over (d, j) structs: min_by on
-    struct(d, cell) takes the smallest cell among equal distances."""
-    spark = df.sparkSession
-    comp_rows = [(j, p, int(v)) for j, c in enumerate(centroids)
-                 for p, v in enumerate(c)]
-    comps = F.broadcast(spark.createDataFrame(
-        comp_rows, "cell int, pos int, cval bigint"))
-    n2 = F.broadcast(spark.createDataFrame(
-        [(j, int(sum(v * v for v in c))) for j, c in enumerate(centroids)],
-        "cell int, cn2 bigint"))
+    Corpus-side assignment is the N x K x D hot loop. It runs as ONE
+    Arrow-batched numpy int64 matmul (batch @ centroids.T) inside
+    mapInArrow: exact integer math (quantized values and centroids are
+    small ints, so dots stay far inside int64), first-occurrence
+    argmin = smallest-j tie-break, rows preserved 1:1. The earlier codegen formulation
+    (posexplode + groupBy) shuffled every corpus vector K times —
+    O(N*K) exchange rows; this is zero-shuffle beyond one
+    row-preserving repartition for compute spread. Rows whose vector
+    is NULL or has the wrong dimension keep their row with cell = -1
+    (never probed, so they are excluded from IVF search but never
+    silently dropped)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType
+
+    cents = np.asarray([[int(v) for v in c] for c in centroids],
+                       dtype=np.int64)
+    cn2 = (cents * cents).sum(axis=1)
+    dim = cents.shape[1]
+    out_schema = df.schema.add("cell", IntegerType())
+
+    def fn(batches):
+        for batch in batches:
+            col = batch.column(qv_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            cells = np.full(n, -1, dtype=np.int32)
+            if n:
+                offs = np.asarray(col.offsets)
+                lens = np.diff(offs)
+                valid = lens == dim
+                if col.null_count:
+                    valid &= np.asarray(col.is_valid())
+                idx = np.flatnonzero(valid)
+                if idx.size:
+                    vals = np.asarray(col.values, dtype=np.int64)
+                    rows = vals[offs[idx, None] + np.arange(dim)]
+                    d = cn2[None, :] - 2 * (rows @ cents.T)
+                    cells[idx] = d.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cells, pa.int32())],
+                names=list(batch.schema.names) + ["cell"])
 
     # explicit width: the corpus parquet is small in BYTES, so AQE/file
     # splitting would run the N x K x D compute in one task (same trap
     # as plans/salt.py — byte heuristics can't see arithmetic cost)
     width = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.repartition(width).select(
-        "*", F.posexplode(F.col(qv_col)).alias("pos", "_x"))
-    dots = (exploded.join(comps, "pos")
-            .groupBy(*df.columns, "cell")
-            .agg(F.sum(F.col("_x") * F.col("cval")).alias("_dot"))
-            .join(n2, "cell")
-            .withColumn("_d", F.col("cn2")
-                        - F.lit(2).cast("bigint") * F.col("_dot")))
-    return (dots.groupBy(*df.columns)
-            .agg(F.min_by(F.col("cell"),
-                          F.struct(F.col("_d"), F.col("cell")))
-                 .alias("cell")))
+    return df.repartition(width).mapInArrow(fn, schema=out_schema)
 
 
 def _with_probes(df: DataFrame, centroids, n_probe: int,

@@ -158,7 +158,12 @@ def parse_embedding_spec(comp: Dict, name: str = "embedding",
 def load_config(source: Union[str, Dict]) -> PipelineConfig:
     """source: path to a .toml file, a TOML string, or a parsed dict."""
     if isinstance(source, dict):
-        cfg = source
+        # deep-copy: reference resolution mutates in place (swapping
+        # '${...}' strings for shared sub-objects), which must not be
+        # an observable side effect on the caller's dict
+        import copy
+
+        cfg = copy.deepcopy(source)
     else:
         import os
 

@@ -58,7 +58,10 @@ def _dedup_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
 def keyed_hashes(pages: DataFrame, shard_chars: int = 1) -> DataFrame:
     """(url, html|text, ...) -> (shard, url, content_md5): the dedup
     key derivation shared by batch and streaming forms."""
-    content = F.coalesce(F.col("html").cast("string"), F.lit(""))
+    # hash the BINARY column directly: casting to string lossily decodes
+    # invalid UTF-8 with replacement chars, so two distinct payloads
+    # could collide and the first-seen dedup would drop never-seen docs
+    content = F.coalesce(F.col("html"), F.lit(b""))
     md5 = F.substring(F.md5(content), 1, 15)
     return pages.select(
         F.substring(md5, 1, shard_chars).alias("shard"),

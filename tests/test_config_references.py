@@ -23,6 +23,29 @@ def test_resolve_references_shares_object():
         out["components"]["embedding"]
 
 
+def test_load_config_does_not_mutate_caller_dict():
+    """Dict sources are deep-copied before reference resolution: the
+    caller's '${...}' strings must survive load_config."""
+    import copy
+
+    from edspdf_spark.plans.config import load_config
+
+    cfg = {
+        "pipeline": {"pipeline": ["classifier"]},
+        "components": {
+            "embedding": {"@factory": "box-layout-embedding", "size": 24},
+            "classifier": {"@factory": "trainable-classifier",
+                           "labels": [],
+                           "embedding": "${components.embedding}"},
+        },
+    }
+    before = copy.deepcopy(cfg)
+    load_config(cfg)
+    assert cfg == before
+    assert cfg["components"]["classifier"]["embedding"] == \
+        "${components.embedding}"
+
+
 def test_resolve_references_chain_and_errors():
     cfg = {"a": "${b}", "b": "${c}", "c": 42}
     assert resolve_references(cfg)["a"] == 42

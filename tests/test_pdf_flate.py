@@ -177,6 +177,68 @@ def test_annotate_preserves_version_header():
     assert extract_doc(ann) == extract_doc(blob)
 
 
+def test_annotate_objstm_expands_members_into_xref():
+    """ObjStm inputs are re-emitted with every member (catalog, page
+    dicts, fonts) as a TOP-LEVEL classic object whose xref entry is
+    in-use at the correct offset — spec-compliant viewers that trust
+    the xref can locate the page tree, not just scan-based readers."""
+    from edspdf_spark.kernels.pdf import annotate_pdf
+
+    blob = build_pdf(_fixture_pages(), objstm=True)
+    ann = annotate_pdf(blob, [(0, 0.1, 0.5, 0.1, 0.2, "body")])
+    assert b"/ObjStm" not in ann  # container dropped, members expanded
+
+    # parse the classic xref table and check every in-use entry
+    xref_pos = int(ann.rsplit(b"startxref", 1)[1].split()[0])
+    lines = ann[xref_pos:].split(b"\n")
+    assert lines[0] == b"xref"
+    first, count = map(int, lines[1].split())
+    entries = {}
+    for i in range(count):
+        off, _gen, kind = lines[2 + i].split()
+        entries[first + i] = (int(off), kind)
+    # the catalog (and therefore /Root) must be an in-use entry whose
+    # offset points at its own 'N 0 obj' header
+    root = int(re.search(rb"/Root\s+(\d+)\s+0\s+R", ann).group(1))
+    off, kind = entries[root]
+    assert kind == b"n"
+    assert ann[off:].startswith(f"{root} 0 obj".encode())
+    assert b"/Catalog" in ann[off:ann.find(b"endobj", off)]
+    # every in-use offset resolves to the right object header
+    for oid, (off, kind) in entries.items():
+        if kind == b"n" and oid != 0:
+            assert ann[off:].startswith(f"{oid} 0 obj".encode()), oid
+    # extraction unchanged
+    assert extract_doc(ann) == extract_doc(blob)
+
+
+def test_tj_numeric_kerning_adjusts_advance():
+    """TJ numeric operands translate by -n/1000*size (PDF spec): a
+    positive kern tightens the advance, a negative one widens it, and
+    x1 reflects the post-kern glyph positions."""
+    from edspdf_spark.kernels.pdf import _run_content, text_width
+
+    base = _run_content(b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(AB) (CD)] TJ ET",
+                        {"F1": "Helvetica"})[0]
+    kerned = _run_content(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(AB) -500 (CD)] TJ ET",
+        {"F1": "Helvetica"})[0]
+    # -500 thousandths at size 10 widens the advance by 5 units
+    assert kerned.x1 == pytest.approx(base.x1 + 5.0)
+    tight = _run_content(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(AB) 250 (CD)] TJ ET",
+        {"F1": "Helvetica"})[0]
+    assert tight.x1 == pytest.approx(base.x1 - 2.5)
+    # characters themselves are unaffected
+    assert "".join(c for c, _f, _u in kerned.chars) == "ABCD"
+    # x1 still covers the widest glyph extent: a trailing positive kern
+    # (cursor pulled left after the last glyph) must not shrink x1
+    trail = _run_content(
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(ABCD) 999] TJ ET",
+        {"F1": "Helvetica"})[0]
+    assert trail.x1 == pytest.approx(72 + text_width("ABCD", 10.0))
+
+
 def test_objstm_malformed_headers_raise():
     blob = build_pdf(_fixture_pages(), objstm=True)
     with pytest.raises(PdfParseError, match="/N or /First"):

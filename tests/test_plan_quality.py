@@ -106,7 +106,27 @@ def test_ivf_scoring_is_pythonless(spark):
     sample = [list(r.embedding) for r in emb.limit(16).collect()]
     plan = _plan(ivf_topk(emb, emb.where(F.col("vec_id") % 50 == 0),
                           kmeans_fit(sample, k=4, iters=3)))
-    assert "EvalPython" not in plan  # assignment + dot all codegen
+    assert "EvalPython" not in plan  # no per-row Python anywhere
+    # assignment is ONE Arrow matmul stage; no posexplode-style row
+    # amplification on the corpus side (probes explode is query-side
+    # and K-bounded)
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("Generate") <= 1, plan
+
+
+def test_ivf_assignment_preserves_rows(spark):
+    """Null / wrong-dim vectors keep their row (cell = -1) and
+    duplicate rows are not collapsed — assignment is 1:1."""
+    from edspdf_spark.operators.simsearch import _with_cell
+
+    df = spark.createDataFrame(
+        [(1, [1000, 0]), (1, [1000, 0]), (2, None), (3, [1, 2, 3]),
+         (4, [-1000, 0])],
+        "id long, qv array<bigint>")
+    got = _with_cell(df, [[900, 0], [-900, 0]]).collect()
+    assert len(got) == 5
+    cells = sorted((r.id, r.cell) for r in got)
+    assert cells == [(1, 0), (1, 0), (2, -1), (3, -1), (4, 1)]
 
 
 def test_lsh_candidates_shuffles_do_not_scale_with_bands(spark):

@@ -29,6 +29,22 @@ def test_keyed_hashes_sharding(spark):
     assert len(by_url["u1"]["content_md5"]) == 15
 
 
+def test_keyed_hashes_binary_payloads_do_not_collide(spark):
+    """Distinct binary payloads that decode identically under lossy
+    UTF-8 replacement (invalid sequences) must hash differently — the
+    md5 runs on raw bytes, never on a string cast."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("u1", T0, b"\xff\xfe A", "", None),
+         ("u2", T0, b"\xfe\xff A", "", None)],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string")
+    rows = {r["url"]: r["content_md5"] for r in keyed_hashes(df).collect()}
+    assert rows["u1"] != rows["u2"]
+    assert rows["u1"] == hashlib.md5(b"\xff\xfe A").hexdigest()[:15]
+
+
 def test_first_seen_across_batches_and_restart(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
