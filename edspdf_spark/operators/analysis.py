@@ -147,57 +147,63 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     that any match of length >= w+k-1 between two documents shares at
     least one selected fingerprint, at ~1/w the k-gram count.
 
-    One row per (id, fp). Physical shape: posexplode chars -> running
-    modular prefix sum + lead() over a per-doc window -> w-row min
-    window -> distinct. One shuffle on id (the window), all integer
-    column math — no Python, and no per-element re-evaluation of
-    captured array expressions (the nested-lambda formulation is
-    quadratic in Spark's interpreter). The k-gram hash is recovered
-    from prefix sums via modular inverse powers:
-        H_t = (S_{t+k-1} - S_{t-1}) * B^{-(t-1)}  (mod M)
-    with B^j and B^{-j} mod M shipped as literal arrays. Texts longer
-    than WINNOW_MAX_LEN are truncated to it (documented cap; the
-    corpus case for longer docs is chunking upstream)."""
-    from pyspark.sql import Window
+    One row per (id, fp); ids are assumed unique (each doc's distinct
+    set is computed inside the kernel).
 
-    inv_b = pow(WINNOW_B, WINNOW_M - 2, WINNOW_M)  # M prime
-    spark = df.sparkSession
-    pow_df = F.broadcast(spark.createDataFrame(
-        [(j, pow(WINNOW_B, j, WINNOW_M), pow(inv_b, j, WINNOW_M))
-         for j in range(WINNOW_MAX_LEN)],
-        "pos0 int, p bigint, ip bigint"))
+    Physical shape: the algorithm is entirely DOCUMENT-LOCAL, so it
+    runs as one Arrow-batched numpy kernel inside mapInArrow — the
+    only exchange is a row-preserving repartition for compute spread
+    (explicit count: parquet byte-splitting can't see per-char
+    arithmetic cost). The previous column-math formulation posexploded
+    one row PER CHARACTER (~8,000x row amplification) through a
+    per-doc sort-shuffle window; at corpus scale that exchange
+    dominates everything. All integer math, bit-exact vs the DuckDB
+    oracle:
+        H_t = sum_{j<k} code[t+j] * B^j  (mod M),  t 0-based
+        fp_t = min(H_t..H_{t+w-1}), windows fully inside the sequence
+    Texts longer than WINNOW_MAX_LEN are truncated to it (documented
+    cap; the corpus case for longer docs is chunking upstream)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    text = F.substring(F.lower(F.col(text_col)), 1, WINNOW_MAX_LEN)
-    n = F.length(text)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.ascii(F.substr(text, i, F.lit(1))).cast("bigint"))
+    pows = np.array([pow(WINNOW_B, j, WINNOW_M) for j in range(k)],
+                    dtype=np.int64)
+    min_len = k + w - 1
+    out_schema = StructType([
+        StructField("id", df.schema[id_col].dataType),
+        StructField("fp", LongType())])
 
-    chars = (df.where(n >= k + w - 1)
-             .select(F.col(id_col).alias("id"),
-                     F.posexplode(codes).alias("pos0", "code"))
-             .join(pow_df, "pos0"))
-    # term_u = code_u * B^(u-1) mod M  (pos0 is 0-based => exponent pos0)
-    term = (F.col("code") * F.col("p")) % WINNOW_M
-    by_pos = Window.partitionBy("id").orderBy("pos0")
-    run = chars.withColumn(
-        "s", F.sum(term).over(
-            by_pos.rowsBetween(Window.unboundedPreceding, 0)))
-    # H_t for t = pos0+1: (S_{t+k-1} - S_{t-1}) * invB^(t-1) mod M
-    s_hi = F.lead("s", k - 1).over(by_pos)
-    s_lo = F.lag("s", 1).over(by_pos)
-    h = F.pmod(
-        F.pmod(s_hi - F.coalesce(s_lo, F.lit(0).cast("bigint")),
-               F.lit(WINNOW_M))
-        * F.col("ip"),
-        F.lit(WINNOW_M))
-    hashes = (run.withColumn("h", h)
-              .where(F.col("h").isNotNull()))
-    # w-window minima; only windows fully inside the hash sequence
-    win_min = F.min("h").over(by_pos.rowsBetween(0, w - 1))
-    n_hashes = F.count("h").over(Window.partitionBy("id"))
-    mins = (hashes
-            .withColumn("fp", win_min)
-            .withColumn("_n", n_hashes)
-            .where(F.col("pos0") < F.col("_n") - (w - 1)))
-    return mins.select("id", "fp").distinct()
+    def fn(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            id_type = batch.column(id_col).type
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_ids: list = []
+            out_fps = []
+            for rid, text in zip(ids, texts):
+                if text is None:
+                    continue
+                t = text.lower()[:WINNOW_MAX_LEN]
+                if len(t) < min_len:
+                    continue
+                # utf-32-le bytes ARE the codepoint sequence (matches
+                # ascii(substr(t, i, 1)) in Spark/DuckDB)
+                codes = np.frombuffer(t.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.int64)
+                h = (sliding_window_view(codes, k) @ pows) % WINNOW_M
+                fps = np.unique(sliding_window_view(h, w).min(axis=1))
+                out_ids.extend([rid] * len(fps))
+                out_fps.append(fps)
+            fp_all = (np.concatenate(out_fps) if out_fps
+                      else np.empty(0, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_type),
+                 pa.array(fp_all, pa.int64())],
+                names=["id", "fp"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(id_col, text_col).repartition(width)
+            .mapInArrow(fn, schema=out_schema))

@@ -45,26 +45,29 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
               .withColumn("component", F.col("id"))
               .localCheckpoint(eager=True))
 
+    # One join + one aggregation per iteration (message passing): each
+    # node min-reduces its neighbors' labels UNIONed with its own. The
+    # node's own label rides the union tagged in `own`, so convergence
+    # ("did any label change?") is read off the SAME materialized
+    # result with a cheap checkpoint scan — no second full join job
+    # per round (the round-2 shape roughly doubled iteration cost).
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (edges.join(labels,
-                                   edges["dst"] == labels["id"])
-                        .groupBy("src")
-                        .agg(F.min("component").alias("n_comp")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["id"] == neighbor_min["src"],
-                                  "left")
-                      .select(labels["id"],
-                              F.least(F.col("component"),
-                                      F.coalesce(F.col("n_comp"),
-                                                 F.col("component")))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        msgs = (edges.join(labels, edges["dst"] == labels["id"])
+                .select(F.col("src").alias("id"), "component",
+                        F.lit(None).cast(labels.schema["component"].dataType)
+                        .alias("own")))
+        step = (labels.select("id", "component",
+                              F.col("component").alias("own"))
+                .unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"),
+                     # exactly one non-null `own` per id (its old label)
+                     F.max("own").alias("old"))
+                .localCheckpoint(eager=True))
+        changed = (step.where(F.col("component") != F.col("old"))
+                   .limit(1).count())  # scan of the checkpoint, no join
+        labels = step.select("id", "component")
         if changed == 0:
             converged = True
             break

@@ -172,8 +172,9 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
 
 
 def test_winnow_fingerprints_plan(spark):
-    """Winnowing is pure column math: powers arrive as ONE broadcast,
-    the per-doc window is the only real shuffle, no Python anywhere."""
+    """Winnowing is doc-local: ONE Arrow kernel stage, one
+    row-preserving repartition, no per-char explode (Generate), no
+    per-doc sort window, no per-row Python."""
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
     df = spark.createDataFrame(
@@ -181,8 +182,10 @@ def test_winnow_fingerprints_plan(spark):
         "doc_id long, text string")
     plan = _plan(winnow_fingerprints(df))
     assert "EvalPython" not in plan
-    assert plan.count("BroadcastExchange") == 1
-    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_token_count_is_scan_local(spark):
