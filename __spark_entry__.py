@@ -6,8 +6,8 @@ table sized from sf0.001.
 
 `queries()` / `oracle_sql()` — one entry per implemented operator
 (SURVEY.md §2 + the training-data operator suite). Every query except
-multimodal_meta (binary sniffing) and bloc_transformer (attention is
-not SQL-expressible) carries an exact DuckDB oracle — including the
+bloc_transformer (attention is not SQL-expressible) carries an exact
+DuckDB oracle — including the multimodal metadata columns and the
 full PDF/HTML parse pipelines, whose expected output is derived in
 closed form from the synth generator formulas (the corpus is
 constructed inversion-free under the reading-order relation, so
@@ -1216,15 +1216,67 @@ SELECT doc_id, k, {best} AS label FROM scored
 """
 
 
+# extra payloads exercising every magic-byte branch of the sniffer
+# (the synth corpus is all-PDF); deterministic literals, shared by the
+# Spark query and the oracle derivation
+_MULTIMODAL_EXTRA: list[tuple[str, bytes]] = [
+    ("x-png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+    ("x-jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF"),
+    ("x-gif", b"GIF89a\x01\x00"),
+    ("x-riff", b"RIFF\x24\x00\x00\x00WAVE"),
+    ("x-html", b"<html><body>hi</body></html>"),
+    ("x-doctype", b"<!DOCTYPE html><p>x</p>"),
+    ("x-unknown", b"\x00\x01\x02"),
+    ("x-empty", b""),
+]
+
+
 def q_multimodal_meta(spark, sf_dir):
-    """rows-only: binary metadata + stubbed feature extraction over
-    synthetic payloads (media libs absent by design)."""
-    pages = synth.pages_spark(spark, 40, num_partitions=4)
+    """Binary metadata + stubbed feature extraction over synthetic
+    payloads (media DECODE is stubbed — libs absent by design — but the
+    metadata/shape columns are exact and oracled as a closed-form
+    literal derived from the same deterministic recipe)."""
+    pages = synth.pages_spark(spark, 40, num_partitions=4) \
+        .select("url", "html")
+    extra = spark.createDataFrame(_MULTIMODAL_EXTRA,
+                                  "url string, html binary")
+    pages = pages.unionByName(extra)
     meta = binary_metadata(pages)
     feats = extract_features(pages, dim=8).select(
         "id", F.col("n_bytes").alias("n_bytes_feat"),
         F.size("feature").alias("feature_dim"))
     return meta.join(feats, "id")
+
+
+def _multimodal_oracle() -> str:
+    """Closed-form expected output: the synth payloads are
+    deterministic, so (n_bytes, magic, media type, feature dim) are
+    derived here INDEPENDENTLY (plain bytes inspection, not the
+    operator's expressions) and emitted as a VALUES literal."""
+    magics = [("25504446", "pdf"), ("89504e47", "png"), ("ffd8ff", "jpeg"),
+              ("47494638", "gif"), ("52494646", "riff"),
+              ("3c68746d6c", "html"), ("3c21444f43", "html")]
+
+    def sniff(payload: bytes) -> str:
+        h = payload[:8].hex()
+        for magic, name in magics:
+            if h.startswith(magic):
+                return name
+        return "unknown"
+
+    rows = []
+    payloads = [(url, html) for url, _ts, html, _t, _l
+                in synth.iter_pages(40)] + _MULTIMODAL_EXTRA
+    for url, payload in payloads:
+        rows.append(f"('{url}', {len(payload)}, '{payload[:8].hex()[:8]}', "
+                    f"'{sniff(payload)}', {len(payload)}, 8)")
+    vals = ",\n  ".join(rows)
+    return f"""
+SELECT col0 AS id, CAST(col1 AS INTEGER) AS n_bytes, col2 AS magic_hex,
+       col3 AS media_type, CAST(col4 AS INTEGER) AS n_bytes_feat,
+       CAST(col5 AS INTEGER) AS feature_dim
+FROM (VALUES {vals}) t(col0, col1, col2, col3, col4, col5)
+"""
 
 
 def q_events_hourly(spark, sf_dir):
@@ -1696,12 +1748,14 @@ _ORACLES["bloc_cnn_pool"] = _bloc_cnn_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
-    """Two queries are absent here by nature: multimodal_meta (binary
-    payload sniffing) and bloc_transformer (attention/softmax) — the
-    driver records rows-only checks for them. Everything else,
-    including the full PDF/HTML parse pipelines, carries an exact
-    closed-form oracle."""
+    """One query is absent here by nature: bloc_transformer
+    (attention/softmax is not SQL-expressible) — the driver records a
+    rows-only check for it. Everything else, including the full
+    PDF/HTML parse pipelines and the multimodal metadata columns
+    (closed-form from the deterministic payload recipe), carries an
+    exact oracle."""
     out = dict(_ORACLES)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
+    out["multimodal_meta"] = _multimodal_oracle()
     return out
