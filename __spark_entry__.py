@@ -694,6 +694,118 @@ def q_bloc_transformer(spark, sf_dir):
     return out.select("url", "page_num", "order_idx", "z0", "z1", "z23")
 
 
+# huggingface-embedding analog: window/stride small enough that the
+# synth pages need SEVERAL windows (the de-overlap machinery is
+# exercised, not just the trivial single-window case)
+HF_DIM = 8
+HF_WINDOW = 24
+HF_STRIDE = 12
+
+
+def q_bloc_hf_embed(spark, sf_dir):
+    """huggingface-embedding analog (kernels/hf.py): strided 24/12
+    windowing over each page's subword stream, most-contextualized-
+    occurrence de-overlap, mean line pooling, frozen affine integer
+    contextualizer — the full window machinery hash-checked against a
+    closed-form DuckDB rendering."""
+    from edspdf_spark.operators.hf_embedding import hf_line_embed
+
+    pages = synth.pages_spark(spark, 40, num_partitions=4)
+    bl = blocs(extract(pages)).select("url", "page_num", "order_idx",
+                                      "text")
+    out = hf_line_embed(bl, dim=HF_DIM, window=HF_WINDOW,
+                        stride=HF_STRIDE, line_pooling="mean")
+    return out.drop("text")
+
+
+def _hf_embed_oracle() -> str:
+    """Closed-form windowing/de-overlap/pooling in SQL: subword pieces
+    by fixed-width substr, md5-prefix token ids, the reference window
+    formula, score = min(j, m-1-j) with larger-flat tie-break, SEP
+    pooled into the last line, integer affine contextualization,
+    mean = BIGINT sum / count. All constants from kernels/hf.py."""
+    from edspdf_spark.kernels.hf import (EMB_MOD, EMB_MUL, PIECE_LEN,
+                                         POS_STEP, SEP_ID, WIN_STEP)
+
+    w, s = HF_WINDOW, HF_STRIDE
+    half = EMB_MOD // 2
+    h_sel = ", ".join(
+        f"CAST(sum((tid + {d} * {EMB_MUL}) % {EMB_MOD} - {half}"
+        f" + j * {POS_STEP} + wi * {WIN_STEP}) AS DOUBLE)"
+        f" / count(*) AS h{d}"
+        for d in range(HF_DIM))
+    return _synth_pdf_cte(40) + f""",
+pagelines AS (
+  SELECT i, p, order_idx, text,
+         row_number() OVER (PARTITION BY i, p ORDER BY order_idx)
+           AS line_rn
+  FROM labeled
+),
+words AS (
+  SELECT i, p, order_idx, line_rn, gw.wpos,
+         string_split(text, ' ')[gw.wpos + 1] AS word
+  FROM pagelines CROSS JOIN generate_series(0, 15) gw(wpos)
+  WHERE gw.wpos < len(string_split(text, ' '))
+    AND string_split(text, ' ')[gw.wpos + 1] <> ''
+),
+pieces AS (
+  SELECT i, p, order_idx, line_rn, wpos, gp.pp,
+         substr(word, 1 + {PIECE_LEN} * gp.pp, {PIECE_LEN}) AS piece
+  FROM words CROSS JOIN generate_series(0, 3) gp(pp)
+  WHERE gp.pp * {PIECE_LEN} < length(word)
+),
+toks AS (
+  SELECT i, p, order_idx, line_rn,
+         row_number() OVER (PARTITION BY i, p
+                            ORDER BY line_rn, wpos, pp) AS g,
+         ('0x' || substr(md5(piece), 1, 15))::BIGINT AS tid
+  FROM pieces
+),
+pagestat AS (
+  SELECT t.i, t.p, 2 + count(*) AS L,
+         (SELECT max(line_rn) FROM pagelines pl
+          WHERE pl.i = t.i AND pl.p = t.p) AS last_rn
+  FROM toks t GROUP BY t.i, t.p
+),
+pooltoks AS (
+  SELECT t.i, t.p, t.order_idx, t.line_rn, t.g, t.tid, ps.L
+  FROM toks t JOIN pagestat ps ON ps.i = t.i AND ps.p = t.p
+  UNION ALL
+  SELECT l.i, l.p, l.order_idx, l.line_rn, ps.L - 1,
+         CAST({SEP_ID} AS BIGINT), ps.L
+  FROM pagelines l JOIN pagestat ps ON ps.i = l.i AND ps.p = l.p
+  WHERE l.line_rn = ps.last_rn
+),
+occ AS (
+  SELECT k.*, gw2.wi,
+         2 + least({w}, k.L - 2 - gw2.wi * {s}) AS m,
+         2 + least({w}, k.L - 2) AS W,
+         CASE WHEN k.g = k.L - 1
+              THEN 1 + least({w}, k.L - 2 - gw2.wi * {s})
+              ELSE k.g - gw2.wi * {s} END AS j
+  FROM pooltoks k CROSS JOIN generate_series(0, 63) gw2(wi)
+  WHERE gw2.wi < 1 + greatest(0, (k.L - 2 - {w} + {s} - 1) // {s})
+    AND (k.g = k.L - 1
+         OR (k.g >= 1 + gw2.wi * {s}
+             AND k.g <= least(gw2.wi * {s} + {w}, k.L - 2)))
+),
+chosen AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY i, p, g
+           ORDER BY least(j, m - 1 - j) DESC, wi * W + j DESC) AS rn
+  FROM occ
+)
+SELECT 'https://example.org/doc/' || lpad(CAST(i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       CAST(p AS INTEGER) AS page_num,
+       CAST(order_idx AS INTEGER) AS order_idx,
+       {h_sel}
+FROM chosen WHERE rn = 1
+GROUP BY i, p, order_idx
+"""
+
+
 def q_bloc_cnn_pool(spark, sf_dir):
     """sub-box-cnn-pooler over simple-text word embeddings (the
     reference's text-encoder wiring, tests/core/config.cfg): integer
@@ -1329,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
         "bloc_cnn_pool": q_bloc_cnn_pool,
+        "bloc_hf_embed": q_bloc_hf_embed,
         "bloc_transformer": q_bloc_transformer,
         "trainable_classify": q_trainable_classify,
         "events_hourly": q_events_hourly,
@@ -1745,6 +1858,7 @@ _ORACLES["extract_blocs"] = _synth_blocs_oracle(60)
 _ORACLES["html_extract"] = _synth_html_oracle(60)
 _ORACLES["bloc_embed"] = _bloc_embed_oracle()
 _ORACLES["bloc_cnn_pool"] = _bloc_cnn_oracle()
+_ORACLES["bloc_hf_embed"] = _hf_embed_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

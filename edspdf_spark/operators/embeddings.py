@@ -391,6 +391,17 @@ def embed_from_spec(blocs: DataFrame, spec: Dict,
             assert int(spec["size"]) == dim, \
                 f"spec size {spec['size']} != frozen weight dim {dim}"
         return text_token_embed(blocs, vocabs, weights, prefix=prefix), dim
+    if factory == "huggingface-embedding":
+        from .hf_embedding import hf_line_embed
+
+        size = int(spec.get("size", 8))
+        out = hf_line_embed(
+            blocs, dim=size, window=int(spec.get("window", 510)),
+            stride=int(spec.get("stride", 255)),
+            line_pooling=spec.get("line_pooling", "mean"),
+            max_tokens_per_device=spec.get("max_tokens_per_device"),
+            out_prefix=prefix)
+        return out, size
     if factory == "embedding-combiner":
         mode = spec.get("mode", "sum")
         out = blocs

@@ -59,9 +59,8 @@ _CLASSIFIER_FACTORIES = {"mask-classifier", "multi-mask-classifier",
                          "dummy-classifier"}
 _AGGREGATOR_FACTORIES = {"simple-aggregator", "markdown-aggregator"}
 _EMBEDDING_FACTORIES = {"box-layout-embedding", "simple-text-embedding",
-                        "embedding-combiner"}
-_TORCH_ONLY_FACTORIES = {"box-transformer", "sub-box-cnn-pooler",
-                         "huggingface-embedding"}
+                        "embedding-combiner", "huggingface-embedding"}
+_TORCH_ONLY_FACTORIES = {"box-transformer", "sub-box-cnn-pooler"}
 
 _REF_RE = re.compile(r"^\$\{([A-Za-z0-9_.\-]+)\}$")
 

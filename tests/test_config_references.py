@@ -87,6 +87,31 @@ def test_torch_only_factory_raises():
         parse_embedding_spec({"@factory": "box-transformer", "n_layers": 1})
 
 
+def test_huggingface_embedding_spec_wires_operator(spark):
+    """'huggingface-embedding' is a first-class embedding factory:
+    spec-driven wiring equals a direct hf_line_embed call."""
+    from edspdf_spark import synth
+    from edspdf_spark.operators import blocs, extract
+    from edspdf_spark.operators.embeddings import embed_from_spec
+    from edspdf_spark.operators.hf_embedding import hf_line_embed
+
+    spec = parse_embedding_spec(
+        {"@factory": "huggingface-embedding", "size": 4,
+         "window": 24, "stride": 12, "line_pooling": "mean"})
+    bl = blocs(extract(synth.pages_spark(spark, 6))).select(
+        "url", "page_num", "order_idx", "text")
+    via_spec, size = embed_from_spec(bl, spec, prefix="e")
+    assert size == 4
+    direct = hf_line_embed(bl, dim=4, window=24, stride=12,
+                           out_prefix="e")
+    key = ["url", "page_num", "order_idx"]
+    a = sorted(tuple(r) for r in via_spec.select(
+        *key, *[f"e{c}" for c in range(4)]).collect())
+    b = sorted(tuple(r) for r in direct.select(
+        *key, *[f"e{c}" for c in range(4)]).collect())
+    assert a == b and len(a) > 20
+
+
 def test_embedding_spec_dict_cycle_raises():
     """Mutually-referencing component dicts (each reference resolves in
     one string hop, so the string-cycle check can't see it) must raise,
