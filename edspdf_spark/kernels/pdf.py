@@ -58,6 +58,30 @@ def text_width(text: str, size: float) -> float:
     return len(text) * CHAR_WIDTH * size / 1000.0
 
 
+@dataclass
+class FontInfo:
+    """Parsed font: BaseFont name + optional proportional metrics
+    (/Widths array with /FirstChar, PDF 32000-1 §9.6.2). Chars outside
+    [first_char, first_char+len(widths)) fall back to /MissingWidth
+    (default: the monospaced CHAR_WIDTH)."""
+
+    name: str
+    widths: Optional[List[int]] = None
+    first_char: int = 0
+    missing_width: int = CHAR_WIDTH
+
+    def advance(self, text: str, size: float) -> float:
+        if self.widths is None:
+            return text_width(text, size)
+        total = 0
+        lo, hi = self.first_char, self.first_char + len(self.widths)
+        for ch in text:
+            c = ord(ch)
+            total += (self.widths[c - lo] if lo <= c < hi
+                      else self.missing_width)
+        return total * size / 1000.0
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -92,21 +116,36 @@ def _esc(s: str) -> str:
 
 def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
               page_height: float = PAGE_HEIGHT,
-              compress: bool = False, objstm: bool = False) -> bytes:
+              compress: bool = False, objstm: bool = False,
+              custom_fonts: Optional[Dict[str, Tuple[List[int], int]]] = None,
+              xref_stream: bool = False) -> bytes:
     """Serialize pages of Lines into deterministic PDF bytes.
 
-    Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4, then for each
-    page two objects (Page, Contents). Offsets in the xref are exact.
-    With ``compress=True`` content streams are FlateDecode (zlib level
-    6 — deterministic), exercising the parser's compressed path. With
-    ``objstm=True`` every dictionary object (catalog, pages tree,
-    fonts, page dicts) is packed into ONE FlateDecode /ObjStm object —
-    the PDF-1.5 layout most real-world writers emit — leaving only the
-    content streams as classic top-level objects (streams may not live
-    inside an object stream, per spec).
+    Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4 (+ one object
+    per custom font), then for each page two objects (Page, Contents).
+    Offsets in the xref are exact. With ``compress=True`` content
+    streams are FlateDecode (zlib level 6 — deterministic), exercising
+    the parser's compressed path. With ``objstm=True`` every dictionary
+    object (catalog, pages tree, fonts, page dicts) is packed into ONE
+    FlateDecode /ObjStm object — the PDF-1.5 layout most real-world
+    writers emit — leaving only the content streams as classic
+    top-level objects (streams may not live inside an object stream,
+    per spec).
+
+    ``custom_fonts`` maps a BaseFont name (usable in Segment.font) to
+    (widths, first_char): a proportional /Widths+/FirstChar font, the
+    metric model every real-world PDF uses for non-monospaced text.
+    ``xref_stream=True`` replaces the classic xref table + trailer with
+    a PDF-1.5 cross-reference STREAM (/Type/XRef, /W [1 4 2]): type-1
+    entries for top-level objects and type-2 (objstm, index) entries
+    for ObjStm members.
     """
     n_pages = len(pages)
+    custom_fonts = custom_fonts or {}
     font_objs = list(FONTS.items())  # 4 fonts -> objects 3..6
+    for ci, name in enumerate(custom_fonts):
+        font_objs.append((f"F{5 + ci}", name))
+    tag_by_name = {name: tag for tag, name in font_objs}
     first_page_obj = 3 + len(font_objs)
     page_obj_ids = [first_page_obj + 2 * i for i in range(n_pages)]
 
@@ -118,15 +157,23 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     for _tag, base in font_objs:
-        objects.append(
-            f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>".encode()
-        )
+        if base in custom_fonts:
+            widths, first = custom_fonts[base]
+            warr = " ".join(str(int(w)) for w in widths)
+            objects.append(
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /{base} "
+                f"/FirstChar {first} /LastChar {first + len(widths) - 1} "
+                f"/Widths [{warr}] >>".encode())
+        else:
+            objects.append(
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>"
+                .encode())
 
     font_res = " ".join(
         f"/{tag} {3 + i} 0 R" for i, (tag, _b) in enumerate(font_objs)
     )
     for i, lines in enumerate(pages):
-        content = _content_stream(lines)
+        content = _content_stream(lines, tag_by_name)
         filt = ""
         if compress:
             content = zlib.compress(content, 6)
@@ -145,6 +192,7 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
         objects.append(stream_obj)
 
     numbered = list(enumerate(objects, start=1))
+    in_objstm: Dict[int, Tuple[int, int]] = {}  # oid -> (stm_oid, idx)
     if objstm:
         # dict objects (no stream keyword) -> one compressed /ObjStm;
         # content streams stay top-level (spec: no streams in ObjStm)
@@ -164,21 +212,53 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
                f"/First {len(header)} /Length {len(content)} "
                f"/Filter /FlateDecode >>\nstream\n").encode()
         numbered = [(stm_oid, stm + content + b"\nendstream")] + top_level
+        in_objstm = {oid: (stm_oid, idx)
+                     for idx, (oid, _b) in enumerate(in_stream)}
 
     out = bytearray()
-    out += b"%PDF-1.4\n" if not objstm else b"%PDF-1.5\n"
+    out += b"%PDF-1.4\n" if not (objstm or xref_stream) else b"%PDF-1.5\n"
     offsets: Dict[int, int] = {}
     for oid, body in numbered:
         offsets[oid] = len(out)
         out += f"{oid} 0 obj\n".encode() + body + b"\nendobj\n"
     max_oid = max(oid for oid, _ in numbered) if numbered else 0
+
+    if xref_stream:
+        # PDF-1.5 cross-reference stream (/W [1 4 2]): type 0 = free,
+        # type 1 = (offset, gen), type 2 = (objstm oid, index within)
+        xr_oid = max(max_oid, max(in_objstm, default=0)) + 1
+        size = xr_oid + 1
+        entries = bytearray()
+        xref_pos = len(out)
+        for oid in range(size):
+            if oid == xr_oid:
+                typ, f2, f3 = 1, xref_pos, 0
+            elif oid in offsets:
+                typ, f2, f3 = 1, offsets[oid], 0
+            elif oid in in_objstm:
+                typ, f2, f3 = 2, in_objstm[oid][0], in_objstm[oid][1]
+            else:
+                typ, f2, f3 = 0, 0, 65535
+            entries += bytes([typ]) + f2.to_bytes(4, "big") \
+                + f3.to_bytes(2, "big")
+        content = zlib.compress(bytes(entries), 6)
+        out += (f"{xr_oid} 0 obj\n<< /Type /XRef /Size {size} "
+                f"/W [1 4 2] /Index [0 {size}] /Root 1 0 R "
+                f"/Length {len(content)} /Filter /FlateDecode >>\n"
+                "stream\n").encode()
+        out += content
+        out += b"\nendstream\nendobj\n"
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
+
     xref_pos = len(out)
     out += f"xref\n0 {max_oid + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for oid in range(1, max_oid + 1):
         # in-ObjStm objects get free entries here: a spec-complete file
-        # would carry an xref STREAM for them, but this parser (and the
-        # scan-based repair path of real readers) never consults xref
+        # would carry an xref STREAM for them (xref_stream=True does),
+        # but this parser (and the scan-based repair path of real
+        # readers) never consults xref
         out += (f"{offsets[oid]:010d} 00000 n \n".encode()
                 if oid in offsets else b"0000000000 65535 f \n")
     out += (
@@ -188,13 +268,15 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
     return bytes(out)
 
 
-def _content_stream(lines: List[Line]) -> bytes:
+def _content_stream(lines: List[Line],
+                    tag_by_name: Optional[Dict[str, str]] = None) -> bytes:
+    tags = tag_by_name or _FONT_TAG_BY_NAME
     ops: List[str] = []
     for ln in lines:
         ops.append("BT")
         ops.append(f"1 0 0 1 {ln.x:g} {ln.y:g} Tm")
         for seg in ln.segments:
-            tag = _FONT_TAG_BY_NAME[seg.font]
+            tag = tags[seg.font]
             ops.append(f"/{tag} {seg.size:g} Tf")
             ops.append(f"({_esc(seg.text)}) Tj")
         ops.append("ET")
@@ -234,6 +316,9 @@ _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _ENDSTREAM_RE = re.compile(rb"(\r\n|\n|\r)?endstream")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
+_WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_MISSINGW_RE = re.compile(rb"/MissingWidth\s+(\d+)")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
@@ -329,6 +414,62 @@ def _expand_objstms(data: bytes, objs: Dict[int, bytes],
             objs[sub_oid] = stream[first + off:first + end]
         members[oid] = [e[0] for e in entries]
     return members
+
+
+def read_xref_stream(data: bytes) -> Dict[int, Tuple[int, int, int]]:
+    """Decode the PDF-1.5 cross-reference STREAM at startxref:
+    {oid: (type, field2, field3)} with /W-driven field widths
+    (PDF 32000-1 §7.5.8). type 0 = free, 1 = (offset, gen),
+    2 = (objstm oid, index within).
+
+    The scanning parser never needs this (it finds objects directly),
+    but spec-compliant navigation does — this is the read-side dual of
+    build_pdf(xref_stream=True) and is pinned against the scanner's
+    offsets by tests."""
+    tail = data.rstrip()
+    sm = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", tail)
+    if sm is None:
+        raise PdfParseError("missing startxref")
+    pos = int(sm.group(1))
+    hm = _OBJ_HDR_RE.match(data, pos)
+    if hm is None:
+        raise PdfParseError("startxref does not point at an object "
+                            "(classic xref table input?)")
+    body_start = hm.end()
+    head_end = _STREAM_KW_RE.search(data, body_start)
+    head = data[body_start:head_end.start()] if head_end else b""
+    if b"/XRef" not in head:
+        raise PdfParseError("startxref object is not /Type/XRef")
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", head)
+    if wm is None:
+        raise PdfParseError("xref stream without /W")
+    w = [int(v) for v in wm.group(1).split()]
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    szm = re.search(rb"/Size\s+(\d+)", head)
+    if im is not None:
+        idx = [int(v) for v in im.group(1).split()]
+    elif szm is not None:
+        idx = [0, int(szm.group(1))]
+    else:
+        raise PdfParseError("xref stream without /Index or /Size")
+    raw = _stream_for_obj(data, int(hm.group(1)),
+                          {int(hm.group(1)): body_start})
+    entry_w = sum(w)
+    out: Dict[int, Tuple[int, int, int]] = {}
+    p = 0
+    for s in range(0, len(idx), 2):
+        first, count = idx[s], idx[s + 1]
+        for k in range(count):
+            if p + entry_w > len(raw):
+                raise PdfParseError("xref stream shorter than /Index")
+            fields = []
+            for width in w:
+                fields.append(int.from_bytes(raw[p:p + width], "big")
+                              if width else 1)  # absent type field = 1
+                p += width
+            out[first + k] = tuple(fields[:3]) if len(fields) >= 3 \
+                else tuple(fields + [0] * (3 - len(fields)))
+    return out
 
 
 def _stream_for_obj(data: bytes, oid: int,
@@ -438,12 +579,27 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
 
     _expand_objstms(data, objs, body_starts)
 
-    # BaseFont names by object id
-    fonts_by_obj: Dict[int, str] = {}
+    # font metrics by object id (BaseFont + optional /Widths array)
+    fonts_by_obj: Dict[int, FontInfo] = {}
     for oid, body in objs.items():
         fm = _BASEFONT_RE.search(body)
         if fm and b"/Type" in body and b"/Font" in body:
-            fonts_by_obj[oid] = fm.group(1).decode("latin-1")
+            widths = None
+            first_char = 0
+            missing = CHAR_WIDTH
+            wm = _WIDTHS_RE.search(body)
+            if wm:
+                try:
+                    widths = [int(v) for v in wm.group(1).split()]
+                except ValueError as exc:
+                    raise PdfParseError(f"bad /Widths entry: {exc}")
+                fcm = _FIRSTCHAR_RE.search(body)
+                first_char = int(fcm.group(1)) if fcm else 0
+                mm = _MISSINGW_RE.search(body)
+                missing = int(mm.group(1)) if mm else CHAR_WIDTH
+            fonts_by_obj[oid] = FontInfo(
+                name=fm.group(1).decode("latin-1"), widths=widths,
+                first_char=first_char, missing_width=missing)
 
     # Page object ids, in document order via the Pages tree when present
     page_ids: List[int] = []
@@ -486,15 +642,23 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
             stream = _stream_for_obj(data, int(cm.group(1)), body_starts)
             lines = _run_content(
                 stream,
-                {tag: fonts_by_obj.get(oid, "Unknown") for tag, oid in font_res.items()},
+                {tag: fonts_by_obj.get(oid, FontInfo(name="Unknown"))
+                 for tag, oid in font_res.items()},
             )
         pages.append(ParsedPage(page_num=page_num, width=width, height=height,
                                 lines=lines))
     return pages
 
 
-def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
-    """Interpret a content stream; every BT..ET block becomes one line."""
+def _run_content(stream: bytes,
+                 font_names: Dict[str, object]) -> List[ParsedLine]:
+    """Interpret a content stream; every BT..ET block becomes one line.
+
+    `font_names` maps resource tag -> FontInfo (or a bare BaseFont
+    string for direct callers; normalized to monospaced FontInfo)."""
+    fonts: Dict[str, FontInfo] = {
+        tag: (f if isinstance(f, FontInfo) else FontInfo(name=f))
+        for tag, f in font_names.items()}
     lines: List[ParsedLine] = []
     stack: List[object] = []
 
@@ -502,7 +666,8 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
     tx = ty = 0.0
     line_x = line_y = 0.0
     leading = 0.0
-    font = "Unknown"
+    finfo = FontInfo(name="Unknown")
+    font = finfo.name
     size = 0.0
     cur: Optional[ParsedLine] = None
     y_lo = y_hi = 0.0
@@ -528,7 +693,7 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
         ensure_line()
         assert cur is not None
         cur.chars.extend((ch, font, True) for ch in text)
-        tx += text_width(text, size)
+        tx += finfo.advance(text, size)
         cur.x1 = max(cur.x1, tx)
         y_lo = min(y_lo, ty + DESCENT * size / 1000.0)
         y_hi = max(y_hi, ty + ASCENT * size / 1000.0)
@@ -564,7 +729,8 @@ def _run_content(stream: bytes, font_names: Dict[str, str]) -> List[ParsedLine]:
                 in_text = False
             elif op == "Tf":
                 size = float(stack[-1])
-                font = font_names.get(str(stack[-2]), "Unknown")
+                finfo = fonts.get(str(stack[-2]), FontInfo(name="Unknown"))
+                font = finfo.name
                 stack.clear()
             elif op == "Tm":
                 # only translation matrices are supported in this subset
@@ -707,6 +873,12 @@ def annotate_pdf(data: bytes, annotations, colors=None,
                     else b"%PDF-1.4\n")
     offsets: Dict[int, int] = {}
     for oid in order:
+        head_m = _STREAM_KW_RE.search(objs[oid])
+        head = objs[oid][:head_m.start()] if head_m else objs[oid]
+        if b"/XRef" in head and b"/Type" in head:
+            # stale cross-reference stream: superseded by the classic
+            # xref table written below, and its offsets would be wrong
+            continue
         if oid in stm_members:
             # expand the ObjStm: members become classic objects (they
             # are dict objects by spec, so this is always legal) and
