@@ -8,7 +8,7 @@ line: {"metric", "value" (total seconds), "unit": "sec",
 flagship extraction pipeline}.
 
 Methodology (uniform across queries): one untimed warmup run, then
-best-of-2 timed reps — steady-state throughput, excluding JVM/codegen
+best-of-REPS (default 3) timed reps — steady-state throughput, excluding JVM/codegen
 warmup and Python-worker spin-up, which is what scales to a long-lived
 cluster job (cold-start is amortized over 10^12 rows, not per-query).
 Every timed query is forced with the noop sink (full computation, no
@@ -35,7 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # flagship corpus size = multiplier x documents-table rows (documents
 # is 5000 rows at sf0.1; parse cost ~1.4 ms/doc single-core)
 PIPELINE_DOCS_MULT = int(os.environ.get("SPARK_GRAFT_PIPE_MULT", "40"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def _force(df) -> None:
@@ -106,7 +106,7 @@ def main() -> None:
                 "simsearch_topk", "simsearch_ivf", "winnow_fingerprints",
                 "text_quality", "lang_id", "fingerprint", "token_count",
                 "events_hourly", "tpch_q1", "mask_classify",
-                "aggregate_lines"]
+                "aggregate_lines", "bloc_hf_embed"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 
