@@ -105,10 +105,13 @@ if __name__ == "__main__":
     chunks = [(j * 500, j * 500 + 500) for j in range(n // 500)]
     with mp.Pool(w, initializer=init) as p:
         p.map(work, chunks[:w])
-        t0 = time.time()
-        p.map(work, chunks)
-        dt = time.time() - t0
-    print(json.dumps({{"cores": w, "docs_per_sec": n / dt}}))
+        best = None
+        for _rep in range(2):  # best-of-2, like the Spark side
+            t0 = time.time()
+            p.map(work, chunks)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+    print(json.dumps({{"cores": w, "docs_per_sec": n / best}}))
 """
 
 
