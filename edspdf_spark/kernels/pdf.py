@@ -315,6 +315,7 @@ _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
 # match of '1' instead of falling through to the endstream scan
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _ENDSTREAM_RE = re.compile(rb"(\r\n|\n|\r)?endstream")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
@@ -368,8 +369,18 @@ def _scan_objects(data: bytes) -> List[Tuple[int, int, int]]:
         sm = _STREAM_KW_RE.search(data, body_start)
         em = data.find(b"endobj", body_start)
         if sm is not None and (em < 0 or sm.start() < em):
-            lm = _LENGTH_RE.search(data[body_start:sm.start()])
-            scan_from = sm.end() + int(lm.group(1)) if lm else sm.end()
+            dict_part = data[body_start:sm.start()]
+            lm = _LENGTH_RE.search(dict_part)
+            if lm:
+                ln: Optional[int] = int(lm.group(1))
+            else:
+                rm = _LENGTH_REF_RE.search(dict_part)
+                try:
+                    ln = (_resolve_int_obj(data, int(rm.group(1)))
+                          if rm else None)
+                except PdfParseError:
+                    ln = None
+            scan_from = sm.end() + ln if ln is not None else sm.end()
             em = data.find(b"endobj", min(scan_from, n_data))
         if em < 0:
             break  # truncated tail: callers decide whether that matters
@@ -472,6 +483,20 @@ def read_xref_stream(data: bytes) -> Dict[int, Tuple[int, int, int]]:
     return out
 
 
+def _resolve_int_obj(data: bytes, oid: int) -> int:
+    """Resolve an indirect integer object ('N 0 obj 123 endobj') —
+    how real writers store stream /Length before the stream bytes are
+    known."""
+    hm = re.search(rb"(?<!\d)" + str(oid).encode() + rb"\s+0\s+obj\b",
+                   data)
+    if hm is None:
+        raise PdfParseError(f"dangling /Length ref {oid}")
+    m = re.match(rb"\s*(\d+)", data[hm.end():hm.end() + 64])
+    if m is None:
+        raise PdfParseError(f"/Length ref {oid} is not an integer object")
+    return int(m.group(1))
+
+
 def _stream_for_obj(data: bytes, oid: int,
                     body_start_by_oid: Optional[Dict[int, int]] = None
                     ) -> bytes:
@@ -498,14 +523,23 @@ def _stream_for_obj(data: bytes, oid: int,
     dict_part = data[start:sm.start()]
     body_start = sm.end()
     lm = _LENGTH_RE.search(dict_part)
-    if lm:
-        n = int(lm.group(1))
+    n: Optional[int] = int(lm.group(1)) if lm else None
+    if n is None:
+        rm = _LENGTH_REF_RE.search(dict_part)
+        if rm:  # indirect /Length N 0 R -> resolve the integer object;
+            # a dangling/garbled ref degrades to the endstream scan
+            # (repair-reader behavior) rather than failing the doc
+            try:
+                n = _resolve_int_obj(data, int(rm.group(1)))
+            except PdfParseError:
+                n = None
+    if n is not None:
         if body_start + n > len(data):
             raise PdfParseError("stream /Length beyond end of file")
         body = data[body_start:body_start + n]
         if not _ENDSTREAM_RE.match(data, body_start + n):
             raise PdfParseError("stream /Length does not reach endstream")
-    else:  # indirect or absent /Length: scan (uncompressed subset only)
+    else:  # absent /Length: scan (uncompressed subset only)
         em = data.find(b"endstream", body_start)
         if em < 0:
             raise PdfParseError("unterminated stream")
@@ -522,19 +556,30 @@ def _stream_for_obj(data: bytes, oid: int,
     return body
 
 
+def _text_bytes_to_str(body: bytes) -> str:
+    """PDF text-string semantics (PDF 32000-1 §7.9.2.2): a BE BOM
+    (FE FF) marks UTF-16BE; everything else reads as single-byte
+    (PDFDocEncoding approximated by latin-1, their shared ASCII
+    range being what real content streams use)."""
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", errors="replace")
+    return body.decode("latin-1")
+
+
 def _decode_pdf_string(raw: bytes) -> str:
-    # raw includes surrounding parens
+    # raw includes surrounding parens; escapes resolve at BYTE level
+    # first so a UTF-16BE BOM split across escapes still decodes
     body = raw[1:-1]
     if b"\\" not in body:  # fast path: no escapes to process
-        return body.decode("latin-1")
-    out = []
+        return _text_bytes_to_str(body)
+    out = bytearray()
     i = 0
     while i < len(body):
         c = body[i : i + 1]
         if c == b"\\" and i + 1 < len(body):
             nxt = body[i + 1 : i + 2]
             if nxt in _STR_ESCAPES:
-                out.append(_STR_ESCAPES[nxt])
+                out += _STR_ESCAPES[nxt].encode("latin-1")
                 i += 2
                 continue
             if nxt.isdigit():  # octal escape, up to 3 digits
@@ -543,15 +588,15 @@ def _decode_pdf_string(raw: bytes) -> str:
                 while j < len(body) and len(digits) < 3 and body[j : j + 1].isdigit():
                     digits += body[j : j + 1]
                     j += 1
-                out.append(chr(int(digits, 8)))
+                out.append(int(digits, 8) & 0xFF)
                 i = j
                 continue
-            out.append(nxt.decode("latin-1"))
+            out += nxt
             i += 2
             continue
-        out.append(c.decode("latin-1"))
+        out += c
         i += 1
-    return "".join(out)
+    return _text_bytes_to_str(bytes(out))
 
 
 def parse_pdf(data: bytes) -> List[ParsedPage]:
@@ -709,8 +754,8 @@ def _run_content(stream: bytes,
             digits = b"".join(tok[1:-1].split())
             if len(digits) % 2:
                 digits += b"0"
-            stack.append(bytes.fromhex(digits.decode("ascii"))
-                         .decode("latin-1"))
+            stack.append(_text_bytes_to_str(
+                bytes.fromhex(digits.decode("ascii"))))
         elif kind == "name":
             stack.append(tok[1:].decode("latin-1"))
         elif kind == "num":

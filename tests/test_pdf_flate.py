@@ -212,6 +212,64 @@ def test_annotate_objstm_expands_members_into_xref():
     assert extract_doc(ann) == extract_doc(blob)
 
 
+def test_utf16be_strings_decode():
+    """BOM-prefixed text strings (PDF 32000-1 §7.9.2.2) decode as
+    UTF-16BE in both literal and hex syntax; non-BOM strings stay
+    single-byte."""
+    from edspdf_spark.kernels.pdf import _run_content
+
+    # hex: FEFF 0048 0069 21D2 = "Hi" + RIGHTWARDS DOUBLE ARROW
+    lines = _run_content(b"BT /F1 10 Tf <FEFF0048006921D2> Tj ET",
+                         {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "Hi⇒"
+    # literal with the BOM bytes raw
+    lines = _run_content(b"BT /F1 10 Tf (\xfe\xff\x00H\x00i) Tj ET",
+                         {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "Hi"
+    # BOM assembled from octal escapes still counts
+    lines = _run_content(rb"BT /F1 10 Tf (\376\377\000H\000i) Tj ET",
+                         {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "Hi"
+    # no BOM -> latin-1 byte semantics unchanged
+    lines = _run_content(b"BT /F1 10 Tf (H\xe9) Tj ET",
+                         {"F1": "Helvetica"})
+    assert "".join(c for c, _f, _u in lines[0].chars) == "H\xe9"
+
+
+def test_indirect_stream_length_resolves():
+    """/Length as an indirect reference (how real writers emit
+    streams) resolves through the integer object — including for a
+    COMPRESSED stream whose bytes could contain 'endobj'."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (indirect) Tj ET"
+    comp = zlib.compress(content, 6)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length 6 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"\nendobj\n"
+        b"6 0 obj\n" + str(len(comp)).encode() + b"\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    res = extract_doc(body)
+    assert not res["error"], res
+    assert res["blocs"][0]["text"] == "indirect"
+
+
+def test_indirect_length_dangling_falls_back_to_scan():
+    """A dangling /Length ref degrades to the endstream scan
+    (repair-reader behavior) instead of failing the document."""
+    from edspdf_spark.kernels.pdf import _stream_for_obj
+
+    data = (b"%PDF-1.4\n4 0 obj\n<< /Length 9 0 R >>\nstream\nxx\n"
+            b"endstream\nendobj\n%%EOF\n")
+    assert _stream_for_obj(data, 4) == b"xx"
+
+
 def test_tj_numeric_kerning_adjusts_advance():
     """TJ numeric operands translate by -n/1000*size (PDF spec): a
     positive kern tightens the advance, a negative one widens it, and
