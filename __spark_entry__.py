@@ -1195,6 +1195,107 @@ def q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    from edspdf_spark.operators.analysis import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _gopher_oracle() -> str:
+    from edspdf_spark.operators.analysis import (
+        GOPHER_MAX_BULLET_FRAC, GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ts,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+m AS (
+  SELECT id,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CASE WHEN len(ts) = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(ts) AS BIGINT) END AS n1,
+         CAST((SELECT sum(length(w)) FROM unnest(ts) u(w)) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(ts, w -> lower(w) <> upper(w))) AS BIGINT)
+           AS n_alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CASE WHEN len(ls) = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(ls) AS BIGINT) END AS nl1,
+         CAST(len(list_filter(ls, l -> starts_with(l, '-')
+                  OR starts_with(l, '*') OR starts_with(l, '•')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+           AS n_ellipsis_l,
+         CAST({stop_sum} AS BIGINT) AS n_stopword_types
+  FROM t
+)
+SELECT id, n_words,
+       CAST(sum_len AS DOUBLE) / n1 AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n1 AS frac_alpha_words,
+       CAST(n_symbols AS DOUBLE) / n1 AS symbol_ratio,
+       CAST(n_bullet AS DOUBLE) / nl1 AS frac_bullet_lines,
+       CAST(n_ellipsis_l AS DOUBLE) / nl1 AS frac_ellipsis_lines,
+       n_stopword_types,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND CAST(sum_len AS DOUBLE) / n1 >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND CAST(sum_len AS DOUBLE) / n1 <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND CAST(n_symbols AS DOUBLE) / n1 <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND CAST(n_alpha AS DOUBLE) / n1 >= {GOPHER_MIN_ALPHA_FRAC}
+        AND CAST(n_bullet AS DOUBLE) / nl1 <= {GOPHER_MAX_BULLET_FRAC}
+        AND CAST(n_ellipsis_l AS DOUBLE) / nl1
+              <= {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND n_stopword_types >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
+# passage granularity for the oracled query: 3 tokens, small enough
+# that the 24-word synth vocabulary actually produces cross-doc
+# repeats at sf0.01 (production default k=50 in the operator)
+PASSAGE_K = 3
+
+
+def q_passage_dedup(spark, sf_dir):
+    from edspdf_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir), k=PASSAGE_K)
+
+
+def _passage_oracle() -> str:
+    k = PASSAGE_K
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ts
+  FROM documents
+),
+pass AS (
+  SELECT doc_id, g.j AS passage_idx,
+         ('0x' || substr(md5(
+            array_to_string(ts[g.j * {k} + 1 : g.j * {k} + {k}], ' ')),
+            1, 15))::BIGINT AS passage_code
+  FROM t CROSS JOIN generate_series(0, 511) g(j)
+  WHERE g.j < len(ts) // {k}
+)
+SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx, passage_code,
+       row_number() OVER (PARTITION BY passage_code
+                          ORDER BY doc_id, passage_idx) = 1 AS keep
+FROM pass
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -1437,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "gopher_quality": q_gopher_quality,
+        "passage_dedup": q_passage_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -1819,6 +1922,8 @@ FROM documents
 
 _ORACLES["token_count"] = _token_count_oracle()
 _ORACLES["winnow_fingerprints"] = _winnow_oracle()
+_ORACLES["gopher_quality"] = _gopher_oracle()
+_ORACLES["passage_dedup"] = _passage_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -126,6 +126,88 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+# Models: ...", Table A1 — the standard web-corpus document filter):
+# thresholds below are the published ones. Stop-word requirement uses
+# the paper's 8-word list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-rule document filter: per-rule metrics + the combined
+    `keep` verdict, all whole-stage-codegen column math (exact DuckDB
+    oracle; no regex — dialect-free constructions only).
+
+    Portability notes: "word contains an alphabetic char" is computed
+    as lower(w) <> upper(w) (true iff some cased letter exists — no
+    \\p{L} class, which differs between Java regex and RE2); symbol
+    occurrences are counted by length-difference after replace()."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    n1 = F.when(n_words == 0, F.lit(1).cast("bigint")).otherwise(n_words)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t).cast("bigint"))
+    mean_word_len = sum_len.cast("double") / n1
+    n_alpha = F.size(F.filter(toks, lambda t: F.lower(t) != F.upper(t))) \
+        .cast("bigint")
+    frac_alpha = n_alpha.cast("double") / n1
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                  F.lit("")))) \
+        .cast("bigint")
+    n_ellipsis = ((F.length(text)
+                   - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+                  / 3).cast("bigint")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n1
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    nl1 = F.when(n_lines == 0, F.lit(1).cast("bigint")).otherwise(n_lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("-") | ln.startswith("*")
+        | ln.startswith("•"))).cast("bigint")
+    ellipsis_l = F.size(F.filter(
+        lines, lambda ln: ln.endswith("..."))).cast("bigint")
+    frac_bullet = bullet.cast("double") / nl1
+    frac_ellipsis = ellipsis_l.cast("double") / nl1
+    stop_types = None
+    for word in GOPHER_STOPWORDS:
+        c = F.when(F.array_contains(toks, word), 1).otherwise(0)
+        stop_types = c if stop_types is None else stop_types + c
+    stop_types = stop_types.cast("bigint")
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+            & (frac_alpha >= GOPHER_MIN_ALPHA_FRAC)
+            & (frac_bullet <= GOPHER_MAX_BULLET_FRAC)
+            & (frac_ellipsis <= GOPHER_MAX_ELLIPSIS_FRAC)
+            & (stop_types >= GOPHER_MIN_STOPWORDS))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellipsis.alias("frac_ellipsis_lines"),
+        stop_types.alias("n_stopword_types"),
+        keep.alias("keep"),
+    )
+
+
 # winnowing parameters: k-gram length, window width, polynomial base
 # and modulus. B^j is precomputed mod M so every intermediate stays
 # far below BIGINT range (sum of k terms < k * M * B).

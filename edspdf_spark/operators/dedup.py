@@ -179,3 +179,38 @@ def simhash_near_pairs(fingerprints: DataFrame, bits: int = 16,
                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def passage_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 50) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb sub-document
+    variant of exact dedup): documents are cut into NON-OVERLAPPING
+    k-token passages; every repeated passage keeps only its first
+    occurrence in (doc_id, passage_idx) order.
+
+    Output: one row per passage occurrence —
+    (doc_id, passage_idx, passage_code, keep).
+
+    Scale shape: the explode adds ~n_tokens/k rows per doc (bounded,
+    ~2% at the production k=50), passages travel as 15-byte md5-prefix
+    BIGINT codes (never the text), and the first-occurrence ranking is
+    ONE shuffle on the code — the same single-exchange profile as
+    exact_dedup, just at sub-document granularity."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n_pass = F.floor(F.size(toks) / k).cast("int")
+    idx = F.when(n_pass > 0, F.sequence(F.lit(0), n_pass - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    parts = F.transform(
+        idx,
+        lambda j: F.struct(
+            j.cast("int").alias("idx"),
+            code15(F.concat_ws(" ", F.slice(toks, j * k + 1, k)))
+            .alias("code")))
+    ex = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(parts).alias("p"))
+          .select("doc_id", F.col("p.idx").alias("passage_idx"),
+                  F.col("p.code").alias("passage_code")))
+    w = Window.partitionBy("passage_code").orderBy("doc_id", "passage_idx")
+    return ex.withColumn("keep", F.row_number().over(w) == 1)

@@ -188,6 +188,37 @@ def test_winnow_fingerprints_plan(spark):
     assert "Window" not in plan, plan
 
 
+def test_gopher_quality_is_scan_local(spark):
+    """The Gopher rule filter is a pure projection: zero shuffles,
+    zero Python, zero regex."""
+    from edspdf_spark.operators.analysis import gopher_quality
+
+    df = spark.createDataFrame([(1, "some text with the and that")],
+                               "doc_id long, text string")
+    plan = _plan(gopher_quality(df))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_passage_dedup_single_shuffle(spark):
+    """Passage dedup: one Generate (the passage explode), ONE Exchange
+    (the first-occurrence window on the 15-byte code), no Python —
+    exact_dedup's profile at sub-document granularity."""
+    from edspdf_spark.operators.dedup import passage_dedup
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string")
+    plan = _plan(passage_dedup(df, k=3))
+    assert "EvalPython" not in plan
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    got = passage_dedup(df, k=3).collect()
+    assert len(got) == 20  # 2 passages x 10 docs
+    # identical passages: exactly one keeper each
+    assert sum(1 for r in got if r.keep) == 2
+
+
 def test_token_count_is_scan_local(spark):
     """token_count is a pure projection: zero shuffles, zero Python."""
     from edspdf_spark.operators.analysis import token_count
