@@ -106,7 +106,8 @@ def main() -> None:
                 "simsearch_topk", "simsearch_ivf", "winnow_fingerprints",
                 "text_quality", "lang_id", "fingerprint", "token_count",
                 "events_hourly", "tpch_q1", "mask_classify",
-                "aggregate_lines", "bloc_hf_embed"]
+                "aggregate_lines", "bloc_hf_embed", "gopher_quality",
+                "passage_dedup"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 
