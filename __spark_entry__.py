@@ -1201,6 +1201,116 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    from edspdf_spark.operators.analysis import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def _gopher_repetition_oracle() -> str:
+    """Independent DuckDB rendering of the Gopher repetition rules:
+    line/paragraph dup counts via unnest+GROUP BY, n-gram stats via
+    list_transform(generate_series)+unnest (the winnowing-oracle idiom
+    — generate_series with a column bound works in LIST context, only
+    the lateral table-function form is unavailable in DuckDB 1.0).
+    All numerators are integers; fractions are CAST(i AS DOUBLE)/j on
+    both sides, hence bit-exact."""
+    from edspdf_spark.operators.analysis import (
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC, GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_NGRAM_CHAR_FRAC, GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+        GOPHER_MAX_DUP_PARA_FRAC, GOPHER_MAX_TOP_NGRAM_CHAR_FRAC)
+
+    gram_ctes, gram_joins, gram_vals = [], [], []
+    for n in range(2, 11):
+        join_expr = " || ' ' || ".join(f"tk[i + {j}]" if j else "tk[i]"
+                                       for j in range(n))
+        agg = ("CAST(max(c * length(g)) AS BIGINT)" if n <= 4 else
+               "CAST(sum(CASE WHEN c >= 2 THEN c * length(g) "
+               "ELSE 0 END) AS BIGINT)")
+        gram_ctes.append(f"""
+g{n}x AS (
+  SELECT id, unnest(list_transform(
+           generate_series(1, len(tk) - {n - 1}), i -> {join_expr})) AS g
+  FROM docs WHERE len(tk) >= {n}
+),
+g{n}c AS (SELECT id, g, count(*) AS c FROM g{n}x GROUP BY id, g),
+g{n}a AS (SELECT id, {agg} AS v FROM g{n}c GROUP BY id)""")
+        gram_joins.append(f"LEFT JOIN g{n}a ON g{n}a.id = d.id")
+        gram_vals.append(f"CAST(coalesce(g{n}a.v, 0) AS DOUBLE) / c1")
+
+    frac_exprs = {
+        "dup_line_frac": "CAST(coalesce(la.dup_lines, 0) AS DOUBLE) / "
+                         "(CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 1 "
+                         "ELSE la.n_lines END)",
+        "dup_para_frac": "CAST(coalesce(pa.dup_paras, 0) AS DOUBLE) / "
+                         "(CASE WHEN coalesce(pa.n_paras, 0) = 0 THEN 1 "
+                         "ELSE pa.n_paras END)",
+        "dup_line_char_frac":
+            "CAST(coalesce(la.dup_line_chars, 0) AS DOUBLE) / c1",
+        "dup_para_char_frac":
+            "CAST(coalesce(pa.dup_para_chars, 0) AS DOUBLE) / c1",
+    }
+    for i, n in enumerate((2, 3, 4)):
+        frac_exprs[f"top{n}gram_char_frac"] = gram_vals[i]
+    for i, n in enumerate(range(5, 11)):
+        frac_exprs[f"dup{n}gram_char_frac"] = gram_vals[3 + i]
+    keep_parts = [
+        f"{frac_exprs['dup_line_frac']} <= {GOPHER_MAX_DUP_LINE_FRAC}",
+        f"{frac_exprs['dup_para_frac']} <= {GOPHER_MAX_DUP_PARA_FRAC}",
+        f"{frac_exprs['dup_line_char_frac']} <= "
+        f"{GOPHER_MAX_DUP_LINE_CHAR_FRAC}",
+        f"{frac_exprs['dup_para_char_frac']} <= "
+        f"{GOPHER_MAX_DUP_PARA_CHAR_FRAC}",
+    ]
+    for n, thr in GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        keep_parts.append(f"{frac_exprs[f'top{n}gram_char_frac']} <= {thr}")
+    for n, thr in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        keep_parts.append(f"{frac_exprs[f'dup{n}gram_char_frac']} <= {thr}")
+    select_fracs = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in frac_exprs.items())
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, text,
+         CASE WHEN length(text) = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(length(text) AS BIGINT) END AS c1,
+         list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                     w -> w <> '') AS tk
+  FROM documents
+),
+lx AS (
+  SELECT id, unnest(list_filter(string_split(text, chr(10)),
+                                s -> s <> '')) AS s
+  FROM docs
+),
+lc AS (SELECT id, s, count(*) AS c FROM lx GROUP BY id, s),
+la AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+         CAST(sum((c - 1) * length(s)) AS BIGINT) AS dup_line_chars
+  FROM lc GROUP BY id
+),
+px AS (
+  SELECT id, unnest(list_filter(string_split(text, chr(10) || chr(10)),
+                                s -> s <> '')) AS s
+  FROM docs
+),
+pc AS (SELECT id, s, count(*) AS c FROM px GROUP BY id, s),
+pa AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_paras,
+         CAST(sum(c - 1) AS BIGINT) AS dup_paras,
+         CAST(sum((c - 1) * length(s)) AS BIGINT) AS dup_para_chars
+  FROM pc GROUP BY id
+),{",".join(gram_ctes)}
+SELECT d.id,
+       {select_fracs},
+       ({" AND ".join(keep_parts)}) AS keep
+FROM docs d
+LEFT JOIN la ON la.id = d.id
+LEFT JOIN pa ON pa.id = d.id
+{chr(10).join(gram_joins)}
+"""
+
+
 def _gopher_oracle() -> str:
     from edspdf_spark.operators.analysis import (
         GOPHER_MAX_BULLET_FRAC, GOPHER_MAX_ELLIPSIS_FRAC,
@@ -1539,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "passage_dedup": q_passage_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
@@ -1923,6 +2034,7 @@ FROM documents
 _ORACLES["token_count"] = _token_count_oracle()
 _ORACLES["winnow_fingerprints"] = _winnow_oracle()
 _ORACLES["gopher_quality"] = _gopher_oracle()
+_ORACLES["gopher_repetition"] = _gopher_repetition_oracle()
 _ORACLES["passage_dedup"] = _passage_oracle()
 
 _ORACLES["events_hourly"] = """

@@ -289,3 +289,132 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     width = df.sparkSession.sparkContext.defaultParallelism
     return (df.select(id_col, text_col).repartition(width)
             .mapInArrow(fn, schema=out_schema))
+
+
+# Gopher repetition-filter rules (Rae et al. 2021, Table A1 — the
+# second half of the Gopher web filter, complementing gopher_quality's
+# document-level rules): thresholds are the published ones.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+# fraction of chars in the single most frequent word n-gram
+GOPHER_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+# fraction of chars covered by word n-grams occurring more than once
+GOPHER_MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13,
+                                  8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules: duplicate line/paragraph fractions plus
+    top-n-gram and duplicate-n-gram character fractions, with the
+    combined `keep` verdict.
+
+    Exact, engine-portable definitions (mirrored by the DuckDB
+    oracle):
+    - lines      = non-empty segments of text split on "\\n";
+      paragraphs = non-empty segments split on "\\n\\n".
+    - dup_lines      = sum over distinct lines of (count - 1);
+      dup_line_chars = sum of (count - 1) * length(line). Same for
+      paragraphs. Fractions are over n_lines / length(text).
+    - tokens = split(replace(text, "\\n", " "), " ") minus empties;
+      an n-gram is n consecutive tokens joined with one space.
+    - top{n}_chars (n=2,3,4) = max over n-grams of count * length(gram)
+      (count * length is the tie-break-free formulation of "chars in
+      the most frequent n-gram").
+    - dup{n}_chars (n=5..10) = sum over n-grams with count >= 2 of
+      count * length(gram) (all occurrences of a repeated n-gram,
+      overlaps counted — the standard published approximation).
+
+    Physical shape: entirely DOCUMENT-LOCAL, so one Arrow-batched
+    kernel behind a row-preserving compute-spread repartition — the
+    winnowing pattern (see winnow_fingerprints above); zero shuffles
+    beyond the explicit-count spread, no row amplification. The kernel
+    emits INTEGER numerators/denominators only; fractions are computed
+    as a codegen select of CAST(int AS DOUBLE)/int, bit-identical in
+    Spark and DuckDB."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    int_cols = (["n_chars", "n_lines", "dup_lines", "dup_line_chars",
+                 "n_paras", "dup_paras", "dup_para_chars"]
+                + [f"top{n}_chars" for n in (2, 3, 4)]
+                + [f"dup{n}_chars" for n in range(5, 11)])
+    out_schema = StructType(
+        [StructField("id", df.schema[id_col].dataType)]
+        + [StructField(c, LongType()) for c in int_cols])
+
+    def fn(batches):
+        from collections import Counter
+
+        for batch in batches:
+            id_type = batch.column(id_col).type
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            rows: dict = {c: [] for c in ["id"] + int_cols}
+            for rid, text in zip(ids, texts):
+                if text is None:
+                    text = ""
+                rows["id"].append(rid)
+                rows["n_chars"].append(len(text))
+                for unit, sep in (("line", "\n"), ("para", "\n\n")):
+                    segs = [s for s in text.split(sep) if s]
+                    cnt = Counter(segs)
+                    rows[f"n_{unit}s"].append(len(segs))
+                    rows[f"dup_{unit}s"].append(
+                        sum(c - 1 for c in cnt.values()))
+                    rows[f"dup_{unit}_chars"].append(
+                        sum((c - 1) * len(s) for s, c in cnt.items()))
+                tk = [t for t in text.replace("\n", " ").split(" ") if t]
+                for n in range(2, 11):
+                    cnt = Counter(
+                        " ".join(tk[i:i + n])
+                        for i in range(len(tk) - n + 1))
+                    if n <= 4:
+                        rows[f"top{n}_chars"].append(
+                            max((c * len(g) for g, c in cnt.items()),
+                                default=0))
+                    else:
+                        rows[f"dup{n}_chars"].append(
+                            sum(c * len(g) for g, c in cnt.items()
+                                if c >= 2))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows["id"], type=id_type)]
+                + [pa.array(rows[c], pa.int64()) for c in int_cols],
+                names=["id"] + int_cols)
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    ints = (df.select(id_col, text_col).repartition(width)
+            .mapInArrow(fn, schema=out_schema))
+
+    c1 = F.when(F.col("n_chars") == 0, F.lit(1).cast("bigint")) \
+        .otherwise(F.col("n_chars"))
+    nl1 = F.when(F.col("n_lines") == 0, F.lit(1).cast("bigint")) \
+        .otherwise(F.col("n_lines"))
+    np1 = F.when(F.col("n_paras") == 0, F.lit(1).cast("bigint")) \
+        .otherwise(F.col("n_paras"))
+    fracs = {
+        "dup_line_frac": F.col("dup_lines").cast("double") / nl1,
+        "dup_para_frac": F.col("dup_paras").cast("double") / np1,
+        "dup_line_char_frac": F.col("dup_line_chars").cast("double") / c1,
+        "dup_para_char_frac": F.col("dup_para_chars").cast("double") / c1,
+    }
+    for n, thr in GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        fracs[f"top{n}gram_char_frac"] = \
+            F.col(f"top{n}_chars").cast("double") / c1
+    for n, thr in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        fracs[f"dup{n}gram_char_frac"] = \
+            F.col(f"dup{n}_chars").cast("double") / c1
+    keep = ((fracs["dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC)
+            & (fracs["dup_para_frac"] <= GOPHER_MAX_DUP_PARA_FRAC)
+            & (fracs["dup_line_char_frac"] <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+            & (fracs["dup_para_char_frac"] <= GOPHER_MAX_DUP_PARA_CHAR_FRAC))
+    for n, thr in GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        keep = keep & (fracs[f"top{n}gram_char_frac"] <= thr)
+    for n, thr in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        keep = keep & (fracs[f"dup{n}gram_char_frac"] <= thr)
+    return ints.select(
+        "id",
+        *[expr.alias(name) for name, expr in fracs.items()],
+        keep.alias("keep"))

@@ -1,0 +1,64 @@
+"""Unit tests for the webtext training-data operators added in round 3:
+Gopher repetition rules, sequence packing, hash-split sampling, URL
+normalization, latest-capture dedup, per-domain stats.
+
+The sf0.01 corpus has no newlines, so the line/paragraph repetition
+rules are pinned here on hand-computed multi-line documents (the
+oracle contract test covers the n-gram math end-to-end)."""
+
+import pytest
+
+
+def _repetition(spark, texts):
+    from edspdf_spark.operators.analysis import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in gopher_repetition(df).collect()}
+    return rows
+
+
+def test_repetition_line_and_para_metrics(spark):
+    # lines: "a b" x2 + the long line -> 1 dup line of 3 chars;
+    # paragraphs: both distinct. text length = 26.
+    text = "a b\na b\n\nc d e c d e c d e"
+    assert len(text) == 26
+    r = _repetition(spark, [text])[0]
+    assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=0)
+    assert r["dup_para_frac"] == 0.0
+    assert r["dup_line_char_frac"] == 3 / 26
+    # tokens: a b a b c d e c d e c d e -> top 2-gram "c d" (or "d e"),
+    # 3 occurrences x 3 chars = 9
+    assert r["top2gram_char_frac"] == 9 / 26
+    # 5-grams "c d e c d" and "d e c d e" each occur twice (overlap
+    # counted): (2*9 + 2*9) / 26
+    assert r["dup5gram_char_frac"] == 36 / 26
+
+
+def test_repetition_empty_and_none(spark):
+    rows = _repetition(spark, ["", None])
+    for rid in (0, 1):
+        r = rows[rid]
+        assert r["keep"] is True
+        assert r["dup_line_frac"] == 0.0
+        assert r["top2gram_char_frac"] == 0.0
+
+
+def test_repetition_rejects_duplicate_paragraphs(spark):
+    para = "word one two three four five six seven"
+    text = "\n\n".join([para] * 10)
+    r = _repetition(spark, [text])[0]
+    assert r["dup_para_frac"] == 0.9
+    assert r["keep"] is False
+
+
+def test_repetition_accepts_normal_prose(spark):
+    # 80 distinct words: every n-gram occurs once, so each top-n-gram
+    # fraction is one gram's chars over the whole doc — far below the
+    # thresholds for any document long enough to pass the companion
+    # gopher_quality min-words rule (short docs are ITS job to drop)
+    text = " ".join(f"word{i:02d}" for i in range(80))
+    r = _repetition(spark, [text])[0]
+    assert r["keep"] is True
+    assert r["dup5gram_char_frac"] == 0.0
