@@ -1201,6 +1201,43 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark, sf_dir):
+    from edspdf_spark.operators.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def _pack_oracle() -> str:
+    """Concat-and-chunk packing in DuckDB: the window cumsum the Spark
+    side deliberately avoids (fine at oracle scale). ::BIGINT around
+    the window sum (DuckDB sums BIGINT into HUGEINT); `//` matches
+    Spark's `div` on nonnegative values."""
+    from edspdf_spark.operators.pack import PACK_SEQ_LEN as L
+
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_tokens AS start_offset
+  FROM t
+)
+SELECT id, n_tokens, start_offset,
+       start_offset // {L} AS first_seq,
+       (start_offset + (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)
+        - 1) // {L} AS last_seq,
+       ((start_offset + (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END)
+         - 1) // {L}) - (start_offset // {L}) + 1 AS n_seqs
+FROM c
+"""
+
+
 def q_gopher_repetition(spark, sf_dir):
     from edspdf_spark.operators.analysis import gopher_repetition
 
@@ -1650,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        "pack_sequences": q_pack_sequences,
         "passage_dedup": q_passage_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
@@ -2035,6 +2073,7 @@ _ORACLES["token_count"] = _token_count_oracle()
 _ORACLES["winnow_fingerprints"] = _winnow_oracle()
 _ORACLES["gopher_quality"] = _gopher_oracle()
 _ORACLES["gopher_repetition"] = _gopher_repetition_oracle()
+_ORACLES["pack_sequences"] = _pack_oracle()
 _ORACLES["passage_dedup"] = _passage_oracle()
 
 _ORACLES["events_hourly"] = """

@@ -62,3 +62,41 @@ def test_repetition_accepts_normal_prose(spark):
     r = _repetition(spark, [text])[0]
     assert r["keep"] is True
     assert r["dup5gram_char_frac"] == 0.0
+
+
+def _pack(spark, texts, seq_len, p=3):
+    from edspdf_spark.operators.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = pack_sequences(df, seq_len=seq_len, num_partitions=p).collect()
+    return sorted((r["id"], r["n_tokens"], r["start_offset"],
+                   r["first_seq"], r["last_seq"], r["n_seqs"])
+                  for r in rows)
+
+
+def test_pack_sequences_straddle_and_empty(spark):
+    texts = ["a b c", "", "d e f g", "h", "i j"]  # 3,0,4,1,2 tokens
+    got = _pack(spark, texts, seq_len=4)
+    # offsets: 0,3,3,7,8 — doc 2 straddles seqs 0..1, doc 1 is empty
+    assert got == [
+        (0, 3, 0, 0, 0, 1),
+        (1, 0, 3, 0, 0, 1),
+        (2, 4, 3, 0, 1, 2),
+        (3, 1, 7, 1, 1, 1),
+        (4, 2, 8, 2, 2, 1),
+    ]
+
+
+def test_pack_sequences_offsets_are_a_prefix_sum(spark):
+    # many docs across many partitions: the two-phase sum must equal
+    # the direct cumulative sum regardless of partition boundaries
+    texts = [f"{'tok ' * (i % 7)}".strip() for i in range(100)]
+    got = _pack(spark, texts, seq_len=5, p=8)
+    acc = 0
+    for (i, n, start, first, last, nseq) in got:
+        assert start == acc, f"doc {i}"
+        assert first == start // 5
+        assert last == (start + max(n, 1) - 1) // 5
+        assert nseq == last - first + 1
+        acc += n
