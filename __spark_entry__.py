@@ -1201,6 +1201,75 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(_docs(spark, sf_dir))
 
 
+def q_hash_split(spark, sf_dir):
+    from edspdf_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+def _hash_split_oracle() -> str:
+    from edspdf_spark.functions import code15_sql
+    from edspdf_spark.operators.sampling import (HASH_SPLIT_SALT,
+                                                 HASH_SPLIT_WEIGHTS)
+
+    h = code15_sql(f"CAST(doc_id AS VARCHAR) || ':{HASH_SPLIT_SALT}'")
+    cases, lo = [], 0
+    for name, w in HASH_SPLIT_WEIGHTS.items():
+        cases.append(f"WHEN b < {lo + w} THEN '{name}'")
+        lo += w
+    return f"""
+WITH t AS (SELECT doc_id AS id, {h} % 1000 AS b FROM documents)
+SELECT id, b AS bucket, CASE {" ".join(cases)} END AS split FROM t
+"""
+
+
+def q_latest_capture(spark, sf_dir):
+    from edspdf_spark.operators.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type", "value")
+    return latest_by_key(ev, "user_id", "ts", "event_id")
+
+
+_LATEST_CAPTURE_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_captures
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM r WHERE rn = 1
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    from edspdf_spark.operators.analysis import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
+_DOMAIN_STATS_ORACLE = """
+WITH a AS (
+  SELECT source AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY source
+)
+SELECT domain, n_docs, n_chars, n_tokens, n_langs,
+       CAST(n_chars AS DOUBLE) / n_docs AS avg_chars,
+       CAST(n_chars AS DOUBLE) / (CAST(sum(n_chars) OVER () AS BIGINT))
+         AS share_chars
+FROM a
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     from edspdf_spark.operators.pack import pack_sequences
 
@@ -1688,6 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "pack_sequences": q_pack_sequences,
+        "hash_split": q_hash_split,
+        "latest_capture": q_latest_capture,
+        "domain_stats": q_domain_stats,
         "passage_dedup": q_passage_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
@@ -2074,6 +2146,9 @@ _ORACLES["winnow_fingerprints"] = _winnow_oracle()
 _ORACLES["gopher_quality"] = _gopher_oracle()
 _ORACLES["gopher_repetition"] = _gopher_repetition_oracle()
 _ORACLES["pack_sequences"] = _pack_oracle()
+_ORACLES["hash_split"] = _hash_split_oracle()
+_ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
+_ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
 _ORACLES["passage_dedup"] = _passage_oracle()
 
 _ORACLES["events_hourly"] = """

@@ -418,3 +418,29 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         "id",
         *[expr.alias(name) for name, expr in fracs.items()],
         keep.alias("keep"))
+
+
+def domain_stats(df: DataFrame, domain_col: str = "source",
+                 text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """CCNet-style per-domain rollup: document/char/token counts,
+    language diversity, and each domain's share of corpus characters.
+
+    Physical shape: one hash shuffle with map-side partial agg (all
+    aggregates are algebraic; count(distinct lang) is low-cardinality);
+    the corpus-share denominator is a window over the AGGREGATED
+    output — a handful of domain rows, not the corpus."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    agg = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+                F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+                F.countDistinct(lang_col).alias("n_langs")))
+    total = F.sum("n_chars").over(Window.partitionBy())
+    return agg.select(
+        "domain", "n_docs", "n_chars", "n_tokens", "n_langs",
+        (F.col("n_chars").cast("double") / F.col("n_docs"))
+        .alias("avg_chars"),
+        (F.col("n_chars").cast("double") / total).alias("share_chars"))

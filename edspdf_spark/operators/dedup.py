@@ -214,3 +214,30 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
                   F.col("p.code").alias("passage_code")))
     w = Window.partitionBy("passage_code").orderBy("doc_id", "passage_idx")
     return ex.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def latest_by_key(df: DataFrame, key_col: str, ts_col: str,
+                  tie_col: str) -> DataFrame:
+    """Latest-capture dedup: keep the newest snapshot per key (the
+    Common-Crawl "latest warc_ts per url wins" rule), tie-broken by
+    `tie_col` so the winner is total-ordered.
+
+    Physical shape: ONE hash shuffle on the key with map-side partial
+    aggregation — max(struct(ts, tie, payload...)) is an ordinary
+    commutative agg, so every mapper pre-reduces its partition before
+    the exchange. The window-function formulation (row_number over
+    partitionBy(key) orderBy(ts desc)) shuffles EVERY capture row and
+    then sorts each group; at 10^12 captures the partial-agg form
+    moves one row per key per mapper instead."""
+    payload = [c for c in df.columns if c not in (key_col, ts_col, tie_col)]
+    packed = F.struct(F.col(ts_col), F.col(tie_col),
+                      *[F.col(c) for c in payload])
+    agg = (df.groupBy(key_col)
+           .agg(F.max(packed).alias("_w"),
+                F.count("*").alias("n_captures")))
+    return agg.select(
+        F.col(key_col),
+        F.col(f"_w.{ts_col}").alias(f"last_{ts_col}"),
+        F.col(f"_w.{tie_col}").alias(f"last_{tie_col}"),
+        *[F.col(f"_w.{c}").alias(f"last_{c}") for c in payload],
+        "n_captures")

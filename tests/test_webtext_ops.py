@@ -100,3 +100,60 @@ def test_pack_sequences_offsets_are_a_prefix_sum(spark):
         assert last == (start + max(n, 1) - 1) // 5
         assert nseq == last - first + 1
         acc += n
+
+
+def test_hash_split_is_stable_and_proportioned(spark):
+    from edspdf_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["id"]: (r["bucket"], r["split"])
+         for r in hash_split(df).collect()}
+    b = {r["id"]: (r["bucket"], r["split"])
+         for r in hash_split(df.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+    frac = Counter(s for _, s in a.values())
+    assert 0.85 < frac["train"] / 2000 < 0.95
+    assert frac["val"] > 0 and frac["test"] > 0
+    # a different salt reassigns, same salt is a pure function of id
+    c = {r["id"]: r["split"]
+         for r in hash_split(df, salt="other").collect()}
+    assert any(c[i] != a[i][1] for i in a)
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from edspdf_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": 1, "val": 1})
+
+
+def test_latest_by_key_tie_break(spark):
+    from datetime import datetime
+
+    from edspdf_spark.operators.dedup import latest_by_key
+
+    t = datetime(2024, 1, 1)
+    rows = [("u1", t, 1, "a"), ("u1", t, 3, "b"), ("u1", t, 2, "c"),
+            ("u2", datetime(2024, 2, 2), 9, "d"),
+            ("u2", datetime(2024, 1, 5), 99, "e")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, cap_id long, body string")
+    got = {r["url"]: (r["last_cap_id"], r["last_body"], r["n_captures"])
+           for r in latest_by_key(df, "url", "warc_ts", "cap_id").collect()}
+    assert got == {"u1": (3, "b", 3),   # equal ts -> max tie col wins
+                   "u2": (9, "d", 2)}   # later ts wins over bigger tie
+
+
+def test_domain_stats_shares_sum_to_one(spark):
+    from edspdf_spark.operators.analysis import domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "s1"), (2, "cc", "en", "s1"),
+         (3, "dd ee ff", "fr", "s2")],
+        "doc_id long, text string, lang string, source string")
+    rows = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 3
+    assert rows["s2"]["n_langs"] == 1
+    assert sum(r["share_chars"] for r in rows.values()) == pytest.approx(1.0)
