@@ -1201,6 +1201,98 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(_docs(spark, sf_dir))
 
 
+# messy-URL synthesis, one expression string rendered identically in
+# Spark SQL and DuckDB (ANSI subset; VARCHAR(4) — Spark rejects bare
+# VARCHAR, DuckDB ignores the length): deterministic per doc_id,
+# covering mixed-case scheme/host, www., default ports, trailing
+# slash, query-param order, fragments
+_MESSY_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'Example.COM' "
+    " WHEN doc_id % 3 = 1 THEN 'www.example.com' ELSE 'example.com' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN "
+    "   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)"
+    " || '/p/' || CAST(doc_id % 7 AS VARCHAR(4)) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "   '?b=2&a=' || CAST(doc_id % 11 AS VARCHAR(4)) "
+    " WHEN doc_id % 3 = 1 THEN "
+    "   '?a=' || CAST(doc_id % 11 AS VARCHAR(4)) || '&b=2' "
+    " ELSE '' END) || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)")
+
+
+def q_url_normalize(spark, sf_dir):
+    from edspdf_spark.operators.urls import url_normalize
+
+    raw = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_MESSY_URL_SQL} AS url")
+    return url_normalize(raw)
+
+
+def _url_normalize_oracle() -> str:
+    """Independent DuckDB canonicalization: string/list math instead
+    of parse_url. Same five rules as operators/urls.py."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id, {_MESSY_URL_SQL} AS url FROM documents
+),
+p AS (
+  SELECT id, url,
+         string_split(url, '#')[1] AS base,
+         lower(string_split(string_split(url, '#')[1], '://')[1])
+           AS proto,
+         string_split(string_split(url, '#')[1], '://')[2] AS rest
+  FROM raw
+),
+s AS (
+  SELECT id, url, proto,
+         CASE WHEN strpos(rest, '/') = 0 THEN lower(rest)
+              ELSE lower(substr(rest, 1, strpos(rest, '/') - 1)) END
+           AS hostport,
+         CASE WHEN strpos(rest, '/') = 0 THEN ''
+              ELSE substr(rest, strpos(rest, '/')) END AS pathq
+  FROM p
+),
+h AS (
+  SELECT id, url, proto, pathq,
+         CASE WHEN proto = 'http' AND hostport LIKE '%:80'
+                THEN substr(hostport, 1, length(hostport) - 3)
+              WHEN proto = 'https' AND hostport LIKE '%:443'
+                THEN substr(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS noport
+  FROM s
+),
+f AS (
+  SELECT id, url, proto,
+         CASE WHEN noport LIKE 'www.%' THEN substr(noport, 5)
+              ELSE noport END AS host,
+         CASE WHEN strpos(pathq, '?') = 0 THEN pathq
+              ELSE substr(pathq, 1, strpos(pathq, '?') - 1) END AS rawpath,
+         CASE WHEN strpos(pathq, '?') = 0 THEN ''
+              ELSE substr(pathq, strpos(pathq, '?') + 1) END AS query
+  FROM h
+),
+n AS (
+  SELECT id, url, proto, host, query,
+         CASE WHEN rawpath LIKE '%/'
+              THEN substr(rawpath, 1, length(rawpath) - 1)
+              ELSE rawpath END AS path,
+         CASE WHEN query = '' THEN ''
+              ELSE '?' || list_aggregate(
+                     list_sort(string_split(query, '&')),
+                     'string_agg', '&') END AS qpart,
+         CASE WHEN query = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(query, '&')) AS BIGINT) END
+           AS n_params
+  FROM f
+)
+SELECT id, url, proto || '://' || host || path || qpart AS url_norm,
+       host, path, n_params
+FROM n
+"""
+
+
 def q_hash_split(spark, sf_dir):
     from edspdf_spark.operators.sampling import hash_split
 
@@ -1757,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "pack_sequences": q_pack_sequences,
+        "url_normalize": q_url_normalize,
         "hash_split": q_hash_split,
         "latest_capture": q_latest_capture,
         "domain_stats": q_domain_stats,
@@ -2146,6 +2239,7 @@ _ORACLES["winnow_fingerprints"] = _winnow_oracle()
 _ORACLES["gopher_quality"] = _gopher_oracle()
 _ORACLES["gopher_repetition"] = _gopher_repetition_oracle()
 _ORACLES["pack_sequences"] = _pack_oracle()
+_ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
 _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE

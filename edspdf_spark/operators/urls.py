@@ -1,0 +1,58 @@
+"""URL canonicalization for web-corpus keying.
+
+Exact dedup and latest-capture grouping are only as good as the key:
+Common-Crawl URL strings differ in case, default ports, `www.`,
+fragments, trailing slashes and query-parameter order while naming the
+same resource. `url_normalize` maps each raw URL to a canonical form:
+
+  1. scheme lowercased;
+  2. host lowercased, one leading "www." stripped, default port
+     (:80 for http, :443 for https) stripped;
+  3. fragment dropped;
+  4. one trailing "/" stripped from the path ("/" becomes "");
+  5. query parameters sorted bytewise (binary UTF-8 order).
+
+Supported shape: scheme://host[:port][/path][?query][#fragment],
+no userinfo — the Common-Crawl index subset. Everything is JVM-side
+codegen (`parse_url` + array ops, zero Python); the DuckDB oracle
+re-derives the same form from scratch with string/list functions, so
+the two implementations are independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def url_normalize(df: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, url, url_norm, host, path, n_params) — canonical key per
+    raw URL. Pure column expressions; no shuffle, no Python."""
+    url = F.col(url_col)
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    dport = F.when(proto == "http", F.lit(":80")) \
+        .when(proto == "https", F.lit(":443")).otherwise(F.lit("~none~"))
+    noport = F.when(auth.endswith(dport),
+                    F.substring(auth, 1, F.length(auth) - F.length(dport))
+                    ).otherwise(auth)
+    host = F.when(noport.startswith("www."),
+                  F.substring(noport, 5, F.length(noport))
+                  ).otherwise(noport)
+    rawpath = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(rawpath.endswith("/"),
+                  F.substring(rawpath, 1, F.length(rawpath) - 1)
+                  ).otherwise(rawpath)
+    query = F.parse_url(url, F.lit("QUERY"))
+    qsorted = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    n_params = F.when(query.isNull() | (query == ""), F.lit(0)) \
+        .otherwise(F.size(F.split(query, "&"))).cast("bigint")
+    url_norm = F.concat(
+        proto, F.lit("://"), host, path,
+        F.when(query.isNull() | (query == ""), F.lit(""))
+        .otherwise(F.concat(F.lit("?"), qsorted)))
+    return df.select(
+        F.col(id_col).alias("id"), url.alias("url"),
+        url_norm.alias("url_norm"), host.alias("host"),
+        path.alias("path"), n_params.alias("n_params"))

@@ -157,3 +157,36 @@ def test_domain_stats_shares_sum_to_one(spark):
     assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 3
     assert rows["s2"]["n_langs"] == 1
     assert sum(r["share_chars"] for r in rows.values()) == pytest.approx(1.0)
+
+
+def test_url_normalize_canonical_forms(spark):
+    from edspdf_spark.operators.urls import url_normalize
+
+    rows = [(0, "HTTPS://www.Example.COM:443/a/b/?b=2&a=1#frag"),
+            (1, "http://example.com:80/a/b?a=1&b=2"),
+            (2, "http://host.org/"),
+            (3, "http://example.com:8080/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["id"]: (r["url_norm"], r["host"], r["path"], r["n_params"])
+           for r in url_normalize(df).collect()}
+    assert got[0] == ("https://example.com/a/b?a=1&b=2",
+                      "example.com", "/a/b", 2)
+    assert got[1] == ("http://example.com/a/b?a=1&b=2",
+                      "example.com", "/a/b", 2)
+    assert got[2] == ("http://host.org", "host.org", "", 0)
+    # non-default port survives
+    assert got[3] == ("http://example.com:8080/x",
+                      "example.com:8080", "/x", 0)
+
+
+def test_url_normalize_collapses_capture_variants(spark):
+    # the operator's purpose: variants of one resource share a key
+    from edspdf_spark.operators.urls import url_normalize
+
+    variants = ["http://www.site.org/page?a=1&b=2",
+                "HTTP://SITE.org:80/page/?b=2&a=1",
+                "http://site.org/page?a=1&b=2#top"]
+    df = spark.createDataFrame(list(enumerate(variants)),
+                               "doc_id long, url string")
+    norms = {r["url_norm"] for r in url_normalize(df).collect()}
+    assert norms == {"http://site.org/page?a=1&b=2"}
