@@ -265,3 +265,78 @@ def test_filter_pushdown_reaches_scan(pages_parquet):
     df = pages_parquet.where(F.col("url") > "https://example.org/doc/00000010")
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(url), GreaterThan(url," in plan, plan
+
+
+def test_gopher_repetition_plan(spark):
+    """Repetition rules are doc-local: ONE Arrow kernel, one
+    compute-spread repartition, no explode/window/Python-UDF."""
+    from edspdf_spark.operators.analysis import gopher_repetition
+
+    df = spark.createDataFrame([(1, "a b\na b")],
+                               "doc_id long, text string")
+    plan = _plan(gopher_repetition(df))
+    assert "EvalPython" not in plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan and "Window" not in plan, plan
+
+
+def test_pack_sequences_avoids_global_window(spark):
+    """The packing plan must not contain a partition-less Window sort
+    (the single-task corpus funnel); its only exchange is the range
+    repartition feeding the partition-local cumsum."""
+    from edspdf_spark.operators.pack import pack_sequences
+
+    df = spark.createDataFrame([(i, "a b c") for i in range(10)],
+                               "doc_id long, text string")
+    out = pack_sequences(df, seq_len=4, num_partitions=4)
+    plan = _plan(out)
+    # result is localCheckpoint-ed (boundary-stability of the sampled
+    # range partitioner), so the visible plan is the checkpoint scan
+    assert "Window" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_hash_split_and_url_normalize_are_scan_local(spark):
+    from edspdf_spark.operators.sampling import hash_split
+    from edspdf_spark.operators.urls import url_normalize
+
+    df = spark.createDataFrame([(1, "http://a.org/x")],
+                               "doc_id long, url string")
+    for out in (hash_split(df), url_normalize(df)):
+        plan = _plan(out)
+        assert "EvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan
+
+
+def test_latest_by_key_is_partial_aggregable(spark):
+    """latest_by_key must compile to partial+final HashAggregate or
+    ObjectHashAggregate around ONE exchange — not a window sort over
+    every capture row."""
+    from datetime import datetime
+
+    from edspdf_spark.operators.dedup import latest_by_key
+
+    df = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 1, "x")],
+        "url string, warc_ts timestamp, cap_id long, body string")
+    plan = _plan(latest_by_key(df, "url", "warc_ts", "cap_id"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan
+    assert ("HashAggregate" in plan or "SortAggregate" in plan
+            or "ObjectHashAggregate" in plan), plan
+
+
+def test_domain_stats_single_corpus_shuffle(spark):
+    """One exchange for the groupBy; the share-of-corpus window runs
+    over the aggregated domain rows, not the corpus."""
+    from edspdf_spark.operators.analysis import domain_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(domain_stats(docs))
+    assert "EvalPython" not in plan
+    # exchanges: corpus->domain hash, distinct-lang expand, and the
+    # tiny single-partition exchange feeding the share window — the
+    # corpus itself is shuffled exactly once
+    assert plan.count("Exchange") <= 3, plan
