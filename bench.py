@@ -107,7 +107,8 @@ def main() -> None:
                 "text_quality", "lang_id", "fingerprint", "token_count",
                 "events_hourly", "tpch_q1", "mask_classify",
                 "aggregate_lines", "bloc_hf_embed", "gopher_quality",
-                "passage_dedup"]
+                "passage_dedup", "gopher_repetition", "pack_sequences",
+                "latest_capture", "url_normalize"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

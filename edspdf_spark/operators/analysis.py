@@ -348,6 +348,9 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     def fn(batches):
         from collections import Counter
 
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
         for batch in batches:
             id_type = batch.column(id_col).type
             ids = batch.column(id_col).to_pylist()
@@ -367,18 +370,39 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                     rows[f"dup_{unit}_chars"].append(
                         sum((c - 1) * len(s) for s, c in cnt.items()))
                 tk = [t for t in text.replace("\n", " ").split(" ") if t]
+                # n-gram grouping WITHOUT building gram strings:
+                # intern tokens to ids, group sliding windows of the id
+                # array with np.unique(axis=0) (exact equality — no
+                # hashing), and recover each gram's char length from a
+                # token-length prefix sum (identical grams = identical
+                # tokens = identical length, so the first occurrence's
+                # offsets suffice)
+                vocab: dict = {}
+                tids = np.fromiter(
+                    (vocab.setdefault(t, len(vocab)) for t in tk),
+                    dtype=np.int64, count=len(tk))
+                cum = np.zeros(len(tk) + 1, dtype=np.int64)
+                if tk:
+                    np.cumsum(np.fromiter((len(t) for t in tk),
+                                          dtype=np.int64, count=len(tk)),
+                              out=cum[1:])
                 for n in range(2, 11):
-                    cnt = Counter(
-                        " ".join(tk[i:i + n])
-                        for i in range(len(tk) - n + 1))
+                    key = (f"top{n}_chars" if n <= 4 else
+                           f"dup{n}_chars")
+                    if len(tk) < n:
+                        rows[key].append(0)
+                        continue
+                    wins = sliding_window_view(tids, n)
+                    _, first, counts = np.unique(
+                        wins, axis=0, return_index=True,
+                        return_counts=True)
+                    lens = cum[first + n] - cum[first] + (n - 1)
                     if n <= 4:
-                        rows[f"top{n}_chars"].append(
-                            max((c * len(g) for g, c in cnt.items()),
-                                default=0))
+                        rows[key].append(int((counts * lens).max()))
                     else:
-                        rows[f"dup{n}_chars"].append(
-                            sum(c * len(g) for g, c in cnt.items()
-                                if c >= 2))
+                        dup = counts >= 2
+                        rows[key].append(
+                            int((counts[dup] * lens[dup]).sum()))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows["id"], type=id_type)]
                 + [pa.array(rows[c], pa.int64()) for c in int_cols],
