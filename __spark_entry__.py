@@ -1362,6 +1362,33 @@ FROM a
 """
 
 
+def q_quality_funnel(spark, sf_dir):
+    from edspdf_spark.operators.analysis import quality_funnel
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
+def _quality_funnel_oracle() -> str:
+    """Funnel = the stage oracles composed as subqueries (independent
+    end-to-end rendering of the same pipeline)."""
+    return f"""
+WITH q AS (SELECT id FROM ({_gopher_oracle()}) g WHERE g.keep),
+r AS (SELECT id FROM ({_gopher_repetition_oracle()}) g WHERE g.keep),
+s2 AS (SELECT q.id FROM q JOIN r ON q.id = r.id)
+SELECT CAST(0 AS INT) AS stage, 'all' AS stage_name,
+       CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT CAST(1 AS INT), 'gopher_quality', CAST(count(*) AS BIGINT) FROM q
+UNION ALL
+SELECT CAST(2 AS INT), 'gopher_repetition', CAST(count(*) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'exact_dedup',
+       CAST(count(DISTINCT md5(d.text)) AS BIGINT)
+FROM documents d JOIN s2 ON d.doc_id = s2.id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     from edspdf_spark.operators.pack import pack_sequences
 
@@ -1849,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "pack_sequences": q_pack_sequences,
+        "quality_funnel": q_quality_funnel,
         "url_normalize": q_url_normalize,
         "hash_split": q_hash_split,
         "latest_capture": q_latest_capture,
@@ -2239,6 +2267,7 @@ _ORACLES["winnow_fingerprints"] = _winnow_oracle()
 _ORACLES["gopher_quality"] = _gopher_oracle()
 _ORACLES["gopher_repetition"] = _gopher_repetition_oracle()
 _ORACLES["pack_sequences"] = _pack_oracle()
+_ORACLES["quality_funnel"] = _quality_funnel_oracle()
 _ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE

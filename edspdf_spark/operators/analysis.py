@@ -468,3 +468,42 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
         (F.col("n_chars").cast("double") / F.col("n_docs"))
         .alias("avg_chars"),
         (F.col("n_chars").cast("double") / total).alias("share_chars"))
+
+
+def quality_funnel(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The composed training-data filter funnel — what a real corpus
+    build runs end-to-end: Gopher quality rules, then Gopher
+    repetition rules, then exact dedup among the survivors. Returns
+    one row per stage: (stage, stage_name, n_docs surviving).
+
+    Physical shape: the two rule stages are doc-local (one projection
+    + one Arrow kernel); survivors propagate as id sets; the dedup
+    stage is count(distinct md5) over the survivor subset — each
+    stage's count is a partial-aggregable scalar, so the funnel costs
+    one corpus pass per stage and no stage re-reads a prior stage's
+    rejects."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col)
+                     .alias("text"))
+    q_keep = gopher_quality(base, "id", "text") \
+        .where(F.col("keep")).select("id")
+    r_keep = gopher_repetition(base, "id", "text") \
+        .where(F.col("keep")).select("id")
+    s2 = q_keep.join(r_keep, "id")
+    surv2 = base.join(s2, "id")
+    spark = df.sparkSession
+
+    def row(stage: int, name: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n").cast("bigint").alias("n_docs"))
+
+    n0 = base.agg(F.count("*").alias("n"))
+    n1 = q_keep.agg(F.count("*").alias("n"))
+    n2 = s2.agg(F.count("*").alias("n"))
+    n3 = surv2.agg(F.count_distinct(F.md5(F.col("text"))).alias("n"))
+    return (row(0, "all", n0)
+            .unionAll(row(1, "gopher_quality", n1))
+            .unionAll(row(2, "gopher_repetition", n2))
+            .unionAll(row(3, "exact_dedup", n3)))
