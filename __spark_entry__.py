@@ -1362,26 +1362,35 @@ FROM a
 """
 
 
+# the stopword rule is language-specific; for the synthetic corpus the
+# "most common words" are its own function words (the English list
+# would reject every document and the funnel would be degenerate)
+FUNNEL_STOPWORDS = ["join", "hash", "row", "batch", "scan", "column",
+                    "filter", "merge"]
+
+
 def q_quality_funnel(spark, sf_dir):
     from edspdf_spark.operators.analysis import quality_funnel
 
-    return quality_funnel(_docs(spark, sf_dir))
+    return quality_funnel(_docs(spark, sf_dir),
+                          stopwords=FUNNEL_STOPWORDS)
 
 
 def _quality_funnel_oracle() -> str:
     """Funnel = the stage oracles composed as subqueries (independent
     end-to-end rendering of the same pipeline)."""
     return f"""
-WITH q AS (SELECT id FROM ({_gopher_oracle()}) g WHERE g.keep),
+WITH q AS (SELECT id FROM ({_gopher_oracle(FUNNEL_STOPWORDS)}) g
+           WHERE g.keep),
 r AS (SELECT id FROM ({_gopher_repetition_oracle()}) g WHERE g.keep),
 s2 AS (SELECT q.id FROM q JOIN r ON q.id = r.id)
 SELECT CAST(0 AS INT) AS stage, 'all' AS stage_name,
        CAST(count(*) AS BIGINT) AS n_docs FROM documents
 UNION ALL
-SELECT CAST(1 AS INT), 'gopher_quality', CAST(count(*) AS BIGINT) FROM q
+SELECT CAST(1 AS INT), 'gopher_repetition', CAST(count(*) AS BIGINT)
+FROM r
 UNION ALL
-SELECT CAST(2 AS INT), 'gopher_repetition', CAST(count(*) AS BIGINT)
-FROM s2
+SELECT CAST(2 AS INT), 'gopher_quality', CAST(count(*) AS BIGINT) FROM s2
 UNION ALL
 SELECT CAST(3 AS INT), 'exact_dedup',
        CAST(count(DISTINCT md5(d.text)) AS BIGINT)
@@ -1536,7 +1545,7 @@ LEFT JOIN pa ON pa.id = d.id
 """
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(stopwords=None) -> str:
     from edspdf_spark.operators.analysis import (
         GOPHER_MAX_BULLET_FRAC, GOPHER_MAX_ELLIPSIS_FRAC,
         GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MAX_SYMBOL_RATIO,
@@ -1545,7 +1554,8 @@ def _gopher_oracle() -> str:
 
     stop_sum = " + ".join(
         f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END"
-        for w in GOPHER_STOPWORDS)
+        for w in (stopwords if stopwords is not None
+                  else GOPHER_STOPWORDS))
     return f"""
 WITH t AS (
   SELECT doc_id AS id, text,

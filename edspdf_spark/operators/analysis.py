@@ -144,15 +144,21 @@ GOPHER_MIN_STOPWORDS = 2
 
 
 def gopher_quality(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   stopwords=None) -> DataFrame:
     """Gopher-rule document filter: per-rule metrics + the combined
     `keep` verdict, all whole-stage-codegen column math (exact DuckDB
     oracle; no regex — dialect-free constructions only).
+
+    `stopwords` defaults to the paper's 8 English words; the rule is
+    language-specific, so multilingual corpora pass their own list
+    (the paper's intent: "contains >= 2 of the most common words").
 
     Portability notes: "word contains an alphabetic char" is computed
     as lower(w) <> upper(w) (true iff some cased letter exists — no
     \\p{L} class, which differs between Java regex and RE2); symbol
     occurrences are counted by length-difference after replace()."""
+    stopwords = stopwords if stopwords is not None else GOPHER_STOPWORDS
     text = F.col(text_col)
     toks = tokens(text)
     n_words = F.size(toks).cast("bigint")
@@ -182,7 +188,7 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     frac_bullet = bullet.cast("double") / nl1
     frac_ellipsis = ellipsis_l.cast("double") / nl1
     stop_types = None
-    for word in GOPHER_STOPWORDS:
+    for word in stopwords:
         c = F.when(F.array_contains(toks, word), 1).otherwise(0)
         stop_types = c if stop_types is None else stop_types + c
     stop_types = stop_types.cast("bigint")
@@ -471,10 +477,11 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
 
 
 def quality_funnel(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   stopwords=None) -> DataFrame:
     """The composed training-data filter funnel — what a real corpus
-    build runs end-to-end: Gopher quality rules, then Gopher
-    repetition rules, then exact dedup among the survivors. Returns
+    build runs end-to-end: Gopher repetition rules, then Gopher
+    quality rules, then exact dedup among the survivors. Returns
     one row per stage: (stage, stage_name, n_docs surviving).
 
     Physical shape: the two rule stages are doc-local (one projection
@@ -485,7 +492,7 @@ def quality_funnel(df: DataFrame, id_col: str = "doc_id",
     rejects."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col)
                      .alias("text"))
-    q_keep = gopher_quality(base, "id", "text") \
+    q_keep = gopher_quality(base, "id", "text", stopwords=stopwords) \
         .where(F.col("keep")).select("id")
     r_keep = gopher_repetition(base, "id", "text") \
         .where(F.col("keep")).select("id")
@@ -500,10 +507,10 @@ def quality_funnel(df: DataFrame, id_col: str = "doc_id",
             F.col("n").cast("bigint").alias("n_docs"))
 
     n0 = base.agg(F.count("*").alias("n"))
-    n1 = q_keep.agg(F.count("*").alias("n"))
+    n1 = r_keep.agg(F.count("*").alias("n"))
     n2 = s2.agg(F.count("*").alias("n"))
     n3 = surv2.agg(F.count_distinct(F.md5(F.col("text"))).alias("n"))
     return (row(0, "all", n0)
-            .unionAll(row(1, "gopher_quality", n1))
-            .unionAll(row(2, "gopher_repetition", n2))
+            .unionAll(row(1, "gopher_repetition", n1))
+            .unionAll(row(2, "gopher_quality", n2))
             .unionAll(row(3, "exact_dedup", n3)))
