@@ -69,6 +69,10 @@ class FontInfo:
     widths: Optional[List[int]] = None
     first_char: int = 0
     missing_width: int = CHAR_WIDTH
+    # /ToUnicode CMap: character code -> unicode string (possibly
+    # multi-char, e.g. ligature expansions). Advance widths are keyed
+    # by CODE; only the emitted text is remapped.
+    to_unicode: Optional[Dict[int, str]] = None
 
     def advance(self, text: str, size: float) -> float:
         if self.widths is None:
@@ -80,6 +84,14 @@ class FontInfo:
             total += (self.widths[c - lo] if lo <= c < hi
                       else self.missing_width)
         return total * size / 1000.0
+
+    def decode(self, text: str) -> str:
+        """Map raw character codes through the /ToUnicode CMap (codes
+        without an entry pass through — pdfminer's CMapDB behavior for
+        unmapped codes in simple fonts)."""
+        if self.to_unicode is None:
+            return text
+        return "".join(self.to_unicode.get(ord(ch), ch) for ch in text)
 
 
 # ---------------------------------------------------------------------------
@@ -114,11 +126,34 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _cmap_stream_obj(mapping: Dict[int, str]) -> bytes:
+    """Serialize a code->unicode dict as a /ToUnicode CMap stream
+    object body (minimal but spec-shaped: codespace + bfchar list,
+    UTF-16BE destinations — PDF 32000-1 §9.10.3)."""
+    if any(not 0 <= c <= 0xFF for c in mapping):
+        raise ValueError("simple-font ToUnicode codes must be one byte")
+    entries = "\n".join(
+        f"<{code:02X}> <{text.encode('utf-16-be').hex().upper()}>"
+        for code, text in sorted(mapping.items()))
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CMapName /Custom-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        f"{len(mapping)} beginbfchar\n{entries}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend").encode("ascii")
+    return (f"<< /Length {len(cmap)} >>\nstream\n".encode()
+            + cmap + b"\nendstream")
+
+
 def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
               page_height: float = PAGE_HEIGHT,
               compress: bool = False, objstm: bool = False,
               custom_fonts: Optional[Dict[str, Tuple[List[int], int]]] = None,
-              xref_stream: bool = False) -> bytes:
+              xref_stream: bool = False,
+              to_unicode: Optional[Dict[str, Dict[int, str]]] = None
+              ) -> bytes:
     """Serialize pages of Lines into deterministic PDF bytes.
 
     Object layout: 1=Catalog, 2=Pages, 3..6=Fonts F1..F4 (+ one object
@@ -139,14 +174,27 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
     a PDF-1.5 cross-reference STREAM (/Type/XRef, /W [1 4 2]): type-1
     entries for top-level objects and type-2 (objstm, index) entries
     for ObjStm members.
+
+    ``to_unicode`` maps a BaseFont name to a code->unicode dict; the
+    font object gains a /ToUnicode CMap stream (bfchar entries), and
+    Segment.text for that font carries raw CHARACTER CODES — the
+    embedded-font situation where byte codes and extracted text
+    differ. Names not otherwise defined become simple Type1 fonts.
     """
     n_pages = len(pages)
     custom_fonts = custom_fonts or {}
+    to_unicode = to_unicode or {}
     font_objs = list(FONTS.items())  # 4 fonts -> objects 3..6
-    for ci, name in enumerate(custom_fonts):
+    extra = list(custom_fonts) + [n for n in to_unicode
+                                  if n not in custom_fonts
+                                  and n not in FONTS.values()]
+    for ci, name in enumerate(extra):
         font_objs.append((f"F{5 + ci}", name))
     tag_by_name = {name: tag for tag, name in font_objs}
-    first_page_obj = 3 + len(font_objs)
+    # CMap stream objects sit directly after the font objects
+    cmap_oid_by_name = {
+        name: 3 + len(font_objs) + i for i, name in enumerate(to_unicode)}
+    first_page_obj = 3 + len(font_objs) + len(to_unicode)
     page_obj_ids = [first_page_obj + 2 * i for i in range(n_pages)]
 
     objects: List[bytes] = []
@@ -157,17 +205,21 @@ def build_pdf(pages: List[List[Line]], page_width: float = PAGE_WIDTH,
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     for _tag, base in font_objs:
+        tu = (f" /ToUnicode {cmap_oid_by_name[base]} 0 R"
+              if base in cmap_oid_by_name else "")
         if base in custom_fonts:
             widths, first = custom_fonts[base]
             warr = " ".join(str(int(w)) for w in widths)
             objects.append(
                 f"<< /Type /Font /Subtype /TrueType /BaseFont /{base} "
                 f"/FirstChar {first} /LastChar {first + len(widths) - 1} "
-                f"/Widths [{warr}] >>".encode())
+                f"/Widths [{warr}]{tu} >>".encode())
         else:
             objects.append(
-                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>"
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base}{tu} >>"
                 .encode())
+    for name in to_unicode:
+        objects.append(_cmap_stream_obj(to_unicode[name]))
 
     font_res = " ".join(
         f"/{tag} {3 + i} 0 R" for i, (tag, _b) in enumerate(font_objs)
@@ -317,6 +369,66 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _ENDSTREAM_RE = re.compile(rb"(\r\n|\n|\r)?endstream")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+\-]+)")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+    rb"(<[0-9A-Fa-f\s]*>|\[(?:\s*<[0-9A-Fa-f\s]*>)*\s*\])")
+
+
+def _cmap_hex_bytes(h: bytes) -> bytes:
+    digits = b"".join(h.split())
+    if len(digits) % 2:
+        raise PdfParseError("odd-length hex in CMap")
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _cmap_dst_str(h: bytes) -> str:
+    """Destination hex string -> unicode (UTF-16BE per PDF 32000-1
+    §9.10.3: ToUnicode destinations are UTF-16BE code sequences)."""
+    b = _cmap_hex_bytes(h)
+    if len(b) % 2:
+        raise PdfParseError("ToUnicode destination is not UTF-16BE")
+    return b.decode("utf-16-be", errors="replace")
+
+
+def parse_cmap(body: bytes) -> Dict[int, str]:
+    """Parse a /ToUnicode CMap stream (PDF 32000-1 §9.10.3): bfchar
+    pairs plus bfrange in both destination forms — a start hex string
+    (incremented per code, BMP arithmetic on the UTF-16BE value) and
+    an explicit array of destinations. Source codes are the integer
+    value of the hex string (single-byte codes for simple fonts)."""
+    out: Dict[int, str] = {}
+    for blk in _BFCHAR_RE.findall(body):
+        toks = _CMAP_HEX_RE.findall(blk)
+        if len(toks) % 2:
+            raise PdfParseError("unpaired bfchar entry")
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int.from_bytes(_cmap_hex_bytes(src), "big")] = \
+                _cmap_dst_str(dst)
+    for blk in _BFRANGE_RE.findall(body):
+        for m in _BFRANGE_ITEM_RE.finditer(blk):
+            lo = int.from_bytes(_cmap_hex_bytes(m.group(1)), "big")
+            hi = int.from_bytes(_cmap_hex_bytes(m.group(2)), "big")
+            if hi < lo:
+                raise PdfParseError("descending bfrange")
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                arr = _CMAP_HEX_RE.findall(dst)
+                if len(arr) != hi - lo + 1:
+                    raise PdfParseError("bfrange array length mismatch")
+                for i, code in enumerate(range(lo, hi + 1)):
+                    out[code] = _cmap_dst_str(arr[i])
+            else:
+                base_b = _cmap_hex_bytes(dst[1:-1])
+                base = int.from_bytes(base_b, "big")
+                width = len(base_b)
+                for i, code in enumerate(range(lo, hi + 1)):
+                    out[code] = (base + i).to_bytes(width, "big") \
+                        .decode("utf-16-be", errors="replace")
+    return out
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _MISSINGW_RE = re.compile(rb"/MissingWidth\s+(\d+)")
@@ -642,9 +754,15 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
                 first_char = int(fcm.group(1)) if fcm else 0
                 mm = _MISSINGW_RE.search(body)
                 missing = int(mm.group(1)) if mm else CHAR_WIDTH
+            to_uni = None
+            tm = _TOUNICODE_RE.search(body)
+            if tm:
+                to_uni = parse_cmap(
+                    _stream_for_obj(data, int(tm.group(1)), body_starts))
             fonts_by_obj[oid] = FontInfo(
                 name=fm.group(1).decode("latin-1"), widths=widths,
-                first_char=first_char, missing_width=missing)
+                first_char=first_char, missing_width=missing,
+                to_unicode=to_uni)
 
     # Page object ids, in document order via the Pages tree when present
     page_ids: List[int] = []
@@ -737,7 +855,7 @@ def _run_content(stream: bytes,
             raise PdfParseError("Tj outside BT/ET")
         ensure_line()
         assert cur is not None
-        cur.chars.extend((ch, font, True) for ch in text)
+        cur.chars.extend((ch, font, True) for ch in finfo.decode(text))
         tx += finfo.advance(text, size)
         cur.x1 = max(cur.x1, tx)
         y_lo = min(y_lo, ty + DESCENT * size / 1000.0)
