@@ -1293,6 +1293,68 @@ FROM n
 """
 
 
+# corpus domains blocked in the blocklist demo query (synthetic hosts)
+BLOCKED_DOMAINS = ["src3", "src7", "src13"]
+
+
+def q_blocklist_filter(spark, sf_dir):
+    from edspdf_spark.operators.urls import blocklist_filter
+
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS],
+                               "domain string")
+    return blocklist_filter(_docs(spark, sf_dir), bl) \
+        .select("doc_id", "source")
+
+
+def _blocklist_oracle() -> str:
+    quoted = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+SELECT doc_id, source FROM documents WHERE source NOT IN ({quoted})
+"""
+
+
+def q_int8_quantize(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from edspdf_spark.operators.simsearch import int8_quantize
+
+    q = int8_quantize(_embeddings(spark, sf_dir))
+    # codes rendered as one comma-joined string column: the driver
+    # compare stringifies values, and list-vs-ndarray renderings
+    # differ between engines even when every element matches
+    return q.select(
+        "id", "dim", "scale",
+        F.concat_ws(",", F.transform(F.col("qvec"),
+                                     lambda x: x.cast("string")))
+        .alias("qcodes"), "l1")
+
+
+_INT8_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT id, e, CAST(len(e) AS INT) AS dim,
+         list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+),
+q AS (
+  SELECT id, dim, scale,
+         CASE WHEN scale = 0.0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(round(x * 127.0 / scale)
+                                               AS BIGINT)) END AS qvec
+  FROM s
+)
+SELECT id, dim, scale,
+       array_to_string(qvec, ',') AS qcodes,
+       CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS l1
+FROM q
+"""
+
+
 def q_hash_split(spark, sf_dir):
     from edspdf_spark.operators.sampling import hash_split
 
@@ -1891,6 +1953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "latest_capture": q_latest_capture,
         "domain_stats": q_domain_stats,
+        "blocklist_filter": q_blocklist_filter,
+        "int8_quantize": q_int8_quantize,
         "passage_dedup": q_passage_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
@@ -2282,6 +2346,8 @@ _ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
 _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
+_ORACLES["blocklist_filter"] = _blocklist_oracle()
+_ORACLES["int8_quantize"] = _INT8_QUANTIZE_ORACLE
 _ORACLES["passage_dedup"] = _passage_oracle()
 
 _ORACLES["events_hourly"] = """

@@ -56,3 +56,18 @@ def url_normalize(df: DataFrame, url_col: str = "url",
         F.col(id_col).alias("id"), url.alias("url"),
         url_norm.alias("url_norm"), host.alias("host"),
         path.alias("path"), n_params.alias("n_params"))
+
+
+def blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                     domain_col: str = "source",
+                     block_col: str = "domain") -> DataFrame:
+    """Drop rows whose domain appears in a blocklist — the standard
+    web-corpus exclusion step (spam/adult/opt-out host lists).
+
+    Physical shape: broadcast LEFT ANTI join. The blocklist is a small
+    dimension (thousands-to-millions of hosts fit one executor); the
+    corpus side never shuffles — at 10^12 rows a hash-shuffle anti
+    join would move the whole corpus to drop a fraction of it."""
+    return df.join(
+        F.broadcast(blocklist.select(F.col(block_col).alias("_blocked"))),
+        df[domain_col] == F.col("_blocked"), "left_anti")

@@ -340,3 +340,25 @@ def test_domain_stats_single_corpus_shuffle(spark):
     # tiny single-partition exchange feeding the share window — the
     # corpus itself is shuffled exactly once
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_blocklist_filter_is_broadcast_anti(spark):
+    """The corpus side must not shuffle: broadcast anti join only."""
+    from edspdf_spark.operators.urls import blocklist_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bl = spark.createDataFrame([("src1",)], "domain string")
+    plan = _plan(blocklist_filter(docs, bl))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "EvalPython" not in plan
+    # the only exchange is the tiny broadcast of the blocklist
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_int8_quantize_is_scan_local(spark):
+    from edspdf_spark.operators.simsearch import int8_quantize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(int8_quantize(emb))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan

@@ -190,3 +190,28 @@ def test_url_normalize_collapses_capture_variants(spark):
                                "doc_id long, url string")
     norms = {r["url_norm"] for r in url_normalize(df).collect()}
     assert norms == {"http://site.org/page?a=1&b=2"}
+
+
+def test_blocklist_filter_drops_blocked_domains(spark):
+    from edspdf_spark.operators.urls import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "good.org"), (2, "spam.biz"), (3, "fine.net")],
+        "doc_id long, source string")
+    bl = spark.createDataFrame([("spam.biz",)], "domain string")
+    kept = {r["doc_id"] for r in blocklist_filter(df, bl).collect()}
+    assert kept == {1, 3}
+
+
+def test_int8_quantize_bounds_and_zero_vector(spark):
+    from edspdf_spark.operators.simsearch import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["id"]: r for r in int8_quantize(df).collect()}
+    assert rows[1]["qvec"] == [64, -127, 32]  # round(0.5*127), ...
+    assert rows[1]["scale"] == 1.0 and rows[1]["l1"] == 223
+    assert rows[2]["qvec"] == [0, 0] and rows[2]["scale"] == 0.0
+    assert rows[3]["qvec"] == [127]
+    assert all(abs(q) <= 127 for r in rows.values() for q in r["qvec"])
