@@ -1400,6 +1400,41 @@ FROM r WHERE rn = 1
 """
 
 
+def q_sessionize(spark, sf_dir):
+    from edspdf_spark.streaming.windowed import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+# gaps-and-islands rendering of session_window semantics: a new
+# session starts when the gap to the previous event EXCEEDS 30
+# minutes — Spark merges an event landing exactly at the previous
+# session's end (inclusive boundary; verified by the exact-gap unit
+# test in tests/test_webtext_ops.py); session end = last ts + gap
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id AS key, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT key, ts, value,
+         sum(brk) OVER (PARTITION BY key ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT key, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_centi
+FROM s GROUP BY key, sess
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     from edspdf_spark.operators.analysis import domain_stats
 
@@ -1952,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "hash_split": q_hash_split,
         "latest_capture": q_latest_capture,
+        "sessionize": q_sessionize,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
         "int8_quantize": q_int8_quantize,
@@ -2345,6 +2381,7 @@ _ORACLES["quality_funnel"] = _quality_funnel_oracle()
 _ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
+_ORACLES["sessionize"] = _SESSIONIZE_ORACLE
 _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
 _ORACLES["blocklist_filter"] = _blocklist_oracle()
 _ORACLES["int8_quantize"] = _INT8_QUANTIZE_ORACLE

@@ -50,3 +50,35 @@ def stream_event_counts(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap: str = "30 minutes",
+               value_col: str = "value",
+               watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window: a
+    session is a maximal run of events per key where consecutive
+    events are <= gap apart (the merge boundary is INCLUSIVE: an event
+    landing exactly at the previous session's end extends it); session
+    end = last event ts + gap.
+
+    Output: (key, session_start, session_end, n_events,
+    sum_value_centi). Value sums are integer-quantized (round(v*100))
+    — float accumulation order is partition-dependent; integer sums
+    are exact and engine-portable.
+
+    Works on both batch and streaming inputs (streaming requires the
+    watermark so closed sessions can emit). Physical shape: ONE hash
+    exchange on the key + per-key sort-merge of windows — the same
+    profile as any keyed agg; no global sort."""
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.col(key_col).alias("key"),
+                       F.session_window(F.col(ts_col), gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col(value_col) * 100).cast("bigint"))
+                 .alias("sum_value_centi"))
+            .select("key", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value_centi"))

@@ -215,3 +215,56 @@ def test_int8_quantize_bounds_and_zero_vector(spark):
     assert rows[2]["qvec"] == [0, 0] and rows[2]["scale"] == 0.0
     assert rows[3]["qvec"] == [127]
     assert all(abs(q) <= 127 for r in rows.values() for q in r["qvec"])
+
+
+def test_sessionize_gap_boundary(spark):
+    from datetime import datetime, timedelta
+
+    from edspdf_spark.streaming.windowed import sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", t0, 1.0),                            # session 1
+        ("u", t0 + timedelta(minutes=29), 2.0),    # merges (< gap)
+        ("u", t0 + timedelta(minutes=59), 4.0),    # exactly at the
+        # session end (29m + 30m gap): Spark's boundary is INCLUSIVE,
+        # so this still merges — the oracle mirrors `diff > gap`
+        ("u", t0 + timedelta(minutes=90), 16.0),   # 31m later: new
+        ("v", t0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, value double")
+    got = sorted((r["key"], r["session_start"], r["session_end"],
+                  r["n_events"], r["sum_value_centi"])
+                 for r in sessionize(df, gap="30 minutes").collect())
+    from datetime import timedelta as td
+    assert got == [
+        ("u", t0, t0 + td(minutes=89), 3, 700),
+        ("u", t0 + td(minutes=90), t0 + td(minutes=120), 1, 1600),
+        ("v", t0, t0 + td(minutes=30), 1, 800),
+    ]
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    import os
+
+    from edspdf_spark.streaming.windowed import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    events.write.mode("append").parquet(in_dir)
+    src = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (sessionize(src).writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas()
+    want = sessionize(events).toPandas()
+    wmap = {(r.key, r.session_start): (r.session_end, r.n_events,
+                                       r.sum_value_centi)
+            for r in want.itertuples()}
+    assert len(got) > 0  # watermark may withhold the newest sessions
+    for r in got.itertuples():
+        assert wmap[(r.key, r.session_start)] == \
+            (r.session_end, r.n_events, r.sum_value_centi)
