@@ -1400,6 +1400,50 @@ FROM r WHERE rn = 1
 """
 
 
+def q_bigram_coverage(spark, sf_dir):
+    from edspdf_spark.operators.analysis import bigram_coverage
+
+    return bigram_coverage(_docs(spark, sf_dir))
+
+
+def _bigram_coverage_oracle() -> str:
+    from edspdf_spark.functions import code15_sql
+    from edspdf_spark.operators.analysis import bigram_coverage  # noqa: F401
+
+    code = code15_sql("g")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks WHERE len(tk) >= 2
+),
+bgc AS (SELECT id, {code} AS code FROM bg),
+freq AS (
+  SELECT code FROM (
+    SELECT code, count(DISTINCT id) AS c FROM bgc GROUP BY code
+  ) WHERE c >= 3
+),
+sc AS (
+  SELECT b.id, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN f.code IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nk
+  FROM bgc b LEFT JOIN freq f ON b.code = f.code
+  GROUP BY b.id
+)
+SELECT t.id,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(nk, 0) AS BIGINT) AS n_known,
+       CAST(coalesce(nk, 0) AS DOUBLE)
+         / (CASE WHEN coalesce(nb, 0) = 0 THEN 1 ELSE nb END) AS coverage
+FROM toks t LEFT JOIN sc ON sc.id = t.id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     from edspdf_spark.streaming.windowed import sessionize
 
@@ -1988,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "latest_capture": q_latest_capture,
         "sessionize": q_sessionize,
+        "bigram_coverage": q_bigram_coverage,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
         "int8_quantize": q_int8_quantize,
@@ -2382,6 +2427,7 @@ _ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
 _ORACLES["sessionize"] = _SESSIONIZE_ORACLE
+_ORACLES["bigram_coverage"] = _bigram_coverage_oracle()
 _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
 _ORACLES["blocklist_filter"] = _blocklist_oracle()
 _ORACLES["int8_quantize"] = _INT8_QUANTIZE_ORACLE

@@ -514,3 +514,57 @@ def quality_funnel(df: DataFrame, id_col: str = "doc_id",
             .unionAll(row(1, "gopher_repetition", n1))
             .unionAll(row(2, "gopher_quality", n2))
             .unionAll(row(3, "exact_dedup", n3)))
+
+
+def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", min_df: int = 3) -> DataFrame:
+    """LM-lite corpus-fit scoring (the CCNet perplexity-bucket idea
+    without a KenLM artifact): build the corpus' frequent-bigram table
+    (document frequency >= min_df), then score each document by how
+    much of its bigram mass that table covers. Garbled, boilerplate
+    and off-distribution documents score low — the population CCNet's
+    high-perplexity bucket isolates — while the math stays pure
+    integer (a float log-prob sum would be partition-order dependent
+    and un-oracleable).
+
+    Output: (id, n_bigrams, n_known, coverage).
+
+    Physical shape — the two-pass "train then apply" pattern:
+    1. build: explode bigrams -> distinct (id, code) -> groupBy(code)
+       doc-frequency, map-side partial agg; bigrams travel as 15-byte
+       md5-prefix BIGINT codes, never strings.
+    2. apply: occurrence rows left-join the frequent-code table on the
+       code. At corpus scale the table after min_df pruning follows a
+       Zipf head (small); Spark/AQE broadcasts it when it fits, else
+       this is one hash join on the same code both sides.
+    Docs with < 2 tokens keep a row (coverage 0 over a guarded
+    denominator)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bgs = F.transform(
+        idx, lambda i: code15(F.concat(F.element_at(toks, i), F.lit(" "),
+                                       F.element_at(toks, i + 1))))
+    occ = (df.select(F.col(id_col).alias("id"), F.explode(bgs)
+                     .alias("code")))
+    freq = (occ.distinct().groupBy("code")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") >= min_df)
+            .select("code", F.lit(1).alias("known")))
+    scored = (occ.join(freq, "code", "left")
+              .groupBy("id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.coalesce(F.sum("known"), F.lit(0)).cast("bigint")
+                   .alias("n_known")))
+    base = df.select(F.col(id_col).alias("id"))
+    out = (base.join(scored, "id", "left")
+           .select("id",
+                   F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+                   .alias("n_bigrams"),
+                   F.coalesce(F.col("n_known"), F.lit(0)).cast("bigint")
+                   .alias("n_known")))
+    nb1 = F.when(F.col("n_bigrams") == 0, F.lit(1).cast("bigint")) \
+        .otherwise(F.col("n_bigrams"))
+    return out.withColumn(
+        "coverage", F.col("n_known").cast("double") / nb1)

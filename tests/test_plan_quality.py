@@ -362,3 +362,20 @@ def test_int8_quantize_is_scan_local(spark):
     plan = _plan(int8_quantize(emb))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_bigram_coverage_codes_travel_not_strings(spark):
+    """Both passes shuffle 15-byte codes: the optimized plan must not
+    carry the bigram STRING through any exchange."""
+    from edspdf_spark.operators.analysis import bigram_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bigram_coverage(docs)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    opt = _optimized(out)
+    # the concat that builds the bigram string must be consumed by the
+    # md5 in the same projection (pushed below every exchange)
+    for ln in opt.splitlines():
+        if "Exchange" in ln:
+            assert "concat" not in ln

@@ -7,6 +7,7 @@ rules are pinned here on hand-computed multi-line documents (the
 oracle contract test covers the n-gram math end-to-end)."""
 
 import pytest
+from pyspark.sql import functions as F  # noqa: N812
 
 
 def _repetition(spark, texts):
@@ -268,3 +269,33 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     for r in got.itertuples():
         assert wmap[(r.key, r.session_start)] == \
             (r.session_end, r.n_events, r.sum_value_centi)
+
+
+def test_url_normalize_is_idempotent(spark):
+    """Canonical form must be a fixpoint: normalizing an already
+    normalized URL changes nothing (over the full messy-URL grammar
+    the oracle query exercises)."""
+    import __spark_entry__ as entry_mod
+    from edspdf_spark.operators.urls import url_normalize
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", f"{entry_mod._MESSY_URL_SQL} AS url")
+    once = url_normalize(df).select(
+        "id", F.col("url_norm").alias("url"))
+    twice = url_normalize(once, id_col="id")
+    bad = twice.where(F.col("url") != F.col("url_norm")).count()
+    assert bad == 0
+
+
+def test_bigram_coverage_separates_off_distribution_docs(spark):
+    from edspdf_spark.operators.analysis import bigram_coverage
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(5)]           # in-distribution
+    rows.append((5, "zq xv jk wq pl mn"))            # garbled outlier
+    rows.append((6, "x"))                            # < 2 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in bigram_coverage(df, min_df=3).collect()}
+    assert got[0]["coverage"] == 1.0
+    assert got[5]["coverage"] == 0.0
+    assert got[6]["n_bigrams"] == 0 and got[6]["coverage"] == 0.0
