@@ -108,7 +108,8 @@ def main() -> None:
                 "events_hourly", "tpch_q1", "mask_classify",
                 "aggregate_lines", "bloc_hf_embed", "gopher_quality",
                 "passage_dedup", "gopher_repetition", "pack_sequences",
-                "latest_capture", "url_normalize"]
+                "latest_capture", "url_normalize", "sessionize",
+                "bigram_coverage", "quality_funnel"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 
