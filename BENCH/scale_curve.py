@@ -37,7 +37,9 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
 QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "dedup_exact", "dedup_minhash_lsh", "dedup_components",
-           "lang_id", "token_count"]
+           "lang_id", "token_count", "gopher_repetition",
+           "pack_sequences", "bigram_coverage", "quality_funnel",
+           "sessionize", "url_normalize", "int8_quantize"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
@@ -95,6 +97,23 @@ def build_scaled(spark, out_dir: str) -> None:
         out = out.unionByName(p)
     out.repartition(CPUS).write.mode("overwrite") \
         .parquet(f"{out_dir}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(REPLICAS):
+        # user offset per replica: session/user cardinality grows
+        # linearly with rows (no artificial mega-keys)
+        parts.append(ev.select(
+            (F.col("event_id") + r * n_ev).alias("event_id"),
+            "ts", (F.col("user_id") + r * n_users).alias("user_id"),
+            "event_type", "value", "props"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(CPUS).write.mode("overwrite") \
+        .parquet(f"{out_dir}/events.parquet")
 
 
 def main() -> None:

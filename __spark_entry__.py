@@ -1400,6 +1400,98 @@ FROM r WHERE rn = 1
 """
 
 
+# multi-line corpus synthesized from documents: first 3 words repeat
+# as a boilerplate header line on every doc (the line dedup target),
+# the original text follows as the body line — one expression string,
+# rendered identically in Spark SQL and DuckDB
+_MULTILINE_TEXT_SQL = (
+    "'shared boilerplate header line' || chr(10) || text || chr(10) || "
+    "'footer ' || CAST(doc_id % 5 AS VARCHAR(4))")
+
+
+def q_line_dedup(spark, sf_dir):
+    from edspdf_spark.operators.dedup import line_dedup_rebuild
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_MULTILINE_TEXT_SQL} AS text")
+    return line_dedup_rebuild(docs)
+
+
+def _line_dedup_oracle() -> str:
+    from edspdf_spark.functions import code15_sql
+
+    code = code15_sql("line")
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_MULTILINE_TEXT_SQL} AS text FROM documents
+),
+lx AS (
+  SELECT id, u.idx AS idx, u.line AS line
+  FROM (
+    SELECT id,
+           unnest(list_transform(
+             generate_series(1, len(string_split(text, chr(10)))),
+             i -> {{'idx': i - 1,
+                    'line': string_split(text, chr(10))[i]}})) AS u
+    FROM docs
+  )
+),
+r AS (
+  SELECT id, idx, line,
+         (length(line) < 10 OR
+          row_number() OVER (PARTITION BY {code}
+                             ORDER BY id, idx) = 1) AS keep
+  FROM lx
+)
+SELECT id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY idx), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY id
+"""
+
+
+# deterministic PII injection per doc_id (shared Spark/DuckDB string)
+_PII_TEXT_SQL = (
+    "text || (CASE WHEN doc_id % 4 = 0 THEN "
+    "  ' contact bob' || CAST(doc_id AS VARCHAR(8)) || '@example.com'"
+    " WHEN doc_id % 4 = 1 THEN ' call +155 555 0' || "
+    "  CAST(doc_id % 100 AS VARCHAR(4)) || '2'"
+    " WHEN doc_id % 4 = 2 THEN ' from 10.0.' || "
+    "  CAST(doc_id % 256 AS VARCHAR(4)) || '.7'"
+    " ELSE '' END)")
+
+
+def q_pii_scrub(spark, sf_dir):
+    from edspdf_spark.operators.analysis import pii_scrub
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PII_TEXT_SQL} AS text")
+    return pii_scrub(docs)
+
+
+def _pii_scrub_oracle() -> str:
+    from edspdf_spark.operators.analysis import (PII_PATTERNS,
+                                                 PII_REPLACEMENTS)
+
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = (f"regexp_replace({red}, '{p}', "
+               f"'{PII_REPLACEMENTS[k]}', 'g')")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) "
+        f"AS n_{alias}"
+        for (k, p), alias in zip(PII_PATTERNS.items(),
+                                 ("emails", "phones", "ips")))
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_PII_TEXT_SQL} AS text FROM documents
+)
+SELECT id, {red} AS text, {counts} FROM docs
+"""
+
+
 def q_bigram_coverage(spark, sf_dir):
     from edspdf_spark.operators.analysis import bigram_coverage
 
@@ -2033,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "sessionize": q_sessionize,
         "bigram_coverage": q_bigram_coverage,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
         "int8_quantize": q_int8_quantize,
@@ -2428,6 +2522,8 @@ _ORACLES["hash_split"] = _hash_split_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
 _ORACLES["sessionize"] = _SESSIONIZE_ORACLE
 _ORACLES["bigram_coverage"] = _bigram_coverage_oracle()
+_ORACLES["line_dedup"] = _line_dedup_oracle()
+_ORACLES["pii_scrub"] = _pii_scrub_oracle()
 _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
 _ORACLES["blocklist_filter"] = _blocklist_oracle()
 _ORACLES["int8_quantize"] = _INT8_QUANTIZE_ORACLE

@@ -541,13 +541,16 @@ def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
     denominator)."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    bgs = F.transform(
-        idx, lambda i: code15(F.concat(F.element_at(toks, i), F.lit(" "),
-                                       F.element_at(toks, i + 1))))
-    occ = (df.select(F.col(id_col).alias("id"), F.explode(bgs)
-                     .alias("code")))
+    # adjacent pairs via slice+zip — NOT transform(sequence, i ->
+    # element_at(toks, i)): projection collapse inlines the split()
+    # into every element_at, making that form O(len^2) per document
+    # (measured 6x slower at sf0.1); here split evaluates O(1) times
+    # per row and the md5 runs once per exploded pair
+    z = F.arrays_zip(F.slice(toks, 1, n - 1).alias("a"),
+                     F.slice(toks, 2, n - 1).alias("b"))
+    occ = (df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
+           .select("id", code15(F.concat(F.col("p.a"), F.lit(" "),
+                                         F.col("p.b"))).alias("code")))
     freq = (occ.distinct().groupBy("code")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") >= min_df)
@@ -568,3 +571,41 @@ def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.col("n_bigrams"))
     return out.withColumn(
         "coverage", F.col("n_known").cast("double") / nb1)
+
+
+# PII patterns restricted to the Java-regex/RE2 common dialect: no
+# lookaround, no \b (word-boundary semantics are ASCII-identical but
+# kept out anyway), explicit character classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+PII_REPLACEMENTS = {"email": "<EMAIL>", "phone": "<PHONE>",
+                    "ipv4": "<IP>"}
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails, phone numbers and IPv4 literals — the minimum
+    PII pass a published web corpus runs (cf. BigScience ROOTS /
+    RefinedWeb PII rules). Counts are taken on the ORIGINAL text, then
+    replacements apply in declaration order (email before ipv4: an
+    address like bob@10.0.0.1 redacts as one email, and the count
+    columns reflect the raw-text matches of each pattern
+    independently).
+
+    Output: (id, text, n_emails, n_phones, n_ips). Pure codegen
+    regexp_count/regexp_replace — zero shuffles, zero Python; patterns
+    are dialect-portable so the DuckDB oracle runs them verbatim."""
+    text = F.col(text_col)
+    counts = {k: F.regexp_count(text, F.lit(p)).cast("bigint")
+              for k, p in PII_PATTERNS.items()}
+    red = text
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, PII_REPLACEMENTS[k])
+    return df.select(
+        F.col(id_col).alias("id"), red.alias("text"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"))

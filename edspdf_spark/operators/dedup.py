@@ -241,3 +241,54 @@ def latest_by_key(df: DataFrame, key_col: str, ts_col: str,
         F.col(f"_w.{tie_col}").alias(f"last_{tie_col}"),
         *[F.col(f"_w.{c}").alias(f"last_{c}") for c in payload],
         "n_captures")
+
+
+def line_dedup_rebuild(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_line_len: int = 10) -> DataFrame:
+    """C4's line-level global dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once", applied here at line granularity): every distinct line
+    keeps only its FIRST occurrence in (doc_id, line_idx) order across
+    the whole corpus; documents are rebuilt from their surviving
+    lines.
+
+    Output: (id, text, n_lines, n_kept) — text is the rebuilt
+    document (surviving lines joined with \\n, original order).
+
+    Lines shorter than `min_line_len` chars are always kept (blank
+    lines and stubs would otherwise collapse corpus-wide to a single
+    survivor — the standard guard in production line dedup).
+
+    Scale shape: lines travel as 15-byte md5-prefix codes next to the
+    line text; first-occurrence ranking is ONE shuffle on the code;
+    the rebuild is ONE groupBy(id) whose collect_list is order-healed
+    by an in-group array_sort on the line index (collect_list order is
+    partition-dependent; the sort makes the result deterministic)."""
+    from pyspark.sql import Window
+
+    lines = F.split(F.col(text_col), "\n")
+    idx = F.when(F.size(lines) > 0,
+                 F.sequence(F.lit(0), F.size(lines) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.arrays_zip(idx.alias("idx"), lines.alias("line"))
+                    .alias("z"))
+          .select("id", F.explode("z").alias("p"))
+          .select("id", F.col("p.idx").alias("idx"),
+                  F.col("p.line").alias("line")))
+    w = Window.partitionBy(code15(F.col("line"))).orderBy("id", "idx")
+    kept = ex.withColumn(
+        "keep", (F.length("line") < min_line_len)
+        | (F.row_number().over(w) == 1))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count("*").alias("n_lines"),
+                    F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("keep"),
+                                       F.struct("idx", "line")))),
+                            lambda s: s["line"])).alias("text")))
+    return rebuilt.select("id", "text", "n_lines", "n_kept")
