@@ -42,20 +42,23 @@ def tokens(text_col) -> Column:
 def word_shingles(text_col, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string>.
 
-    Documents with fewer than k tokens yield an empty array. (Spark's
-    sequence(0, -1) DESCENDS rather than being empty, so the short-doc
-    case must be guarded explicitly or element_at crashes the job.)"""
+    Documents with fewer than k tokens yield an empty array (the
+    slice length is clamped to 0, which zips to nothing).
+
+    Shape note: k shifted slices zipped into one struct array — NOT
+    transform(sequence, i -> element_at(toks, i+j)): projection
+    collapse inlines the split() into every element_at, making that
+    form O(k * len^2) per document; here the split evaluates a
+    constant number of times per row."""
     toks = tokens(text_col)
     n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
-        .otherwise(F.array().cast("array<int>"))
+    m = F.greatest(F.lit(0), n - k + 1)
+    parts = [F.slice(toks, j + 1, m).alias(f"w{j}") for j in range(k)]
+    z = F.arrays_zip(*parts)
     return F.array_distinct(
         F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                       for j in range(k)]),
-        ))
+            z, lambda s: F.concat_ws(" ", *[s[f"w{j}"]
+                                            for j in range(k)])))
 
 
 def minhash_exprs(code_col, n_hashes: int):

@@ -379,3 +379,26 @@ def test_bigram_coverage_codes_travel_not_strings(spark):
     for ln in opt.splitlines():
         if "Exchange" in ln:
             assert "concat" not in ln
+
+
+def test_pii_scrub_is_scan_local(spark):
+    from edspdf_spark.operators.analysis import pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pii_scrub(docs))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_two_shuffles(spark):
+    """line dedup: one Generate (the line explode), the ranking
+    exchange on the 15-byte code and the rebuild exchange on id —
+    nothing else."""
+    from edspdf_spark.operators.dedup import line_dedup_rebuild
+
+    df = spark.createDataFrame([(1, "aaaaaaaaaaaa\nbbbbbbbbbbbb")],
+                               "doc_id long, text string")
+    plan = _plan(line_dedup_rebuild(df))
+    assert "EvalPython" not in plan
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") <= 3, plan

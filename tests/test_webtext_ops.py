@@ -299,3 +299,38 @@ def test_bigram_coverage_separates_off_distribution_docs(spark):
     assert got[0]["coverage"] == 1.0
     assert got[5]["coverage"] == 0.0
     assert got[6]["n_bigrams"] == 0 and got[6]["coverage"] == 0.0
+
+
+def test_line_dedup_first_occurrence_and_short_guard(spark):
+    from edspdf_spark.operators.dedup import line_dedup_rebuild
+
+    rows = [(0, "a repeated boilerplate line\nunique body zero\n-"),
+            (1, "a repeated boilerplate line\nunique body one\n-"),
+            (2, "unique body two\na repeated boilerplate line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in line_dedup_rebuild(df).collect()}
+    # doc 0 wins the duplicate line; short "-" lines always survive
+    assert got[0]["text"] == \
+        "a repeated boilerplate line\nunique body zero\n-"
+    assert got[1]["text"] == "unique body one\n-"
+    assert got[2]["text"] == "unique body two"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from edspdf_spark.operators.analysis import pii_scrub
+
+    rows = [(0, "mail a.b+c@ex-ample.org now"),
+            (1, "call +123 456 7890 or 555-123-4567"),
+            (2, "host 192.168.0.1 up"),
+            (3, "clean text only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["text"] == "mail <EMAIL> now"
+    assert got[0]["n_emails"] == 1
+    assert got[1]["text"] == "call <PHONE> or <PHONE>"
+    assert got[1]["n_phones"] == 2
+    assert got[2]["text"] == "host <IP> up" and got[2]["n_ips"] == 1
+    assert got[3]["text"] == "clean text only"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) \
+        == (0, 0, 0)
