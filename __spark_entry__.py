@@ -1377,6 +1377,29 @@ SELECT id, b AS bucket, CASE {" ".join(cases)} END AS split FROM t
 """
 
 
+# data-mixing demo rates: downweight two domains, drop one entirely
+MIX_RATES = {"src0": 500, "src1": 250, "src2": 0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    from edspdf_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), MIX_RATES) \
+        .select("doc_id", "source")
+
+
+def _stratified_oracle() -> str:
+    from edspdf_spark.functions import code15_sql
+
+    h = code15_sql("CAST(doc_id AS VARCHAR) || ':mix-v1'")
+    cases = " ".join(f"WHEN source = '{d}' THEN {r}"
+                     for d, r in MIX_RATES.items())
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {h} % 1000 < (CASE {cases} ELSE 1000 END)
+"""
+
+
 def q_latest_capture(spark, sf_dir):
     from edspdf_spark.operators.dedup import latest_by_key
 
@@ -2122,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "url_normalize": q_url_normalize,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "latest_capture": q_latest_capture,
         "sessionize": q_sessionize,
         "bigram_coverage": q_bigram_coverage,
@@ -2519,6 +2543,7 @@ _ORACLES["pack_sequences"] = _pack_oracle()
 _ORACLES["quality_funnel"] = _quality_funnel_oracle()
 _ORACLES["url_normalize"] = _url_normalize_oracle()
 _ORACLES["hash_split"] = _hash_split_oracle()
+_ORACLES["stratified_sample"] = _stratified_oracle()
 _ORACLES["latest_capture"] = _LATEST_CAPTURE_ORACLE
 _ORACLES["sessionize"] = _SESSIONIZE_ORACLE
 _ORACLES["bigram_coverage"] = _bigram_coverage_oracle()

@@ -109,7 +109,8 @@ def main() -> None:
                 "aggregate_lines", "bloc_hf_embed", "gopher_quality",
                 "passage_dedup", "gopher_repetition", "pack_sequences",
                 "latest_capture", "url_normalize", "sessionize",
-                "bigram_coverage", "quality_funnel"]
+                "bigram_coverage", "quality_funnel", "line_dedup",
+                "pii_scrub"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -45,3 +45,32 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         lo += w
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"),
                      expr.alias("split"))
+
+
+def stratified_sample(df: DataFrame, rates: Dict[str, int],
+                      id_col: str = "doc_id",
+                      domain_col: str = "source",
+                      salt: str = "mix-v1",
+                      default_rate: int = 1000) -> DataFrame:
+    """Deterministic per-domain downsampling — the data-mixing step
+    that rebalances a web corpus toward target domain weights: a row
+    survives iff bucket(id) < rates[domain] (per-mille). Domains
+    absent from `rates` use default_rate (1000 = keep all).
+
+    Same guarantees as hash_split (reproducible, repartition-stable,
+    no global state); the rates table rides the plan as a literal CASE
+    (a handful of domains) — for a large rates table, broadcast-join a
+    rates DataFrame instead. Pure codegen filter, zero shuffles."""
+    bucket = F.pmod(
+        code15(F.concat(F.col(id_col).cast("string"),
+                        F.lit(":" + salt))), F.lit(1000)).cast("bigint")
+    rate = None
+    for dom, r in rates.items():
+        cond = F.col(domain_col) == dom
+        rate = (F.when(cond, F.lit(r)) if rate is None
+                else rate.when(cond, F.lit(r)))
+    rate = (rate.otherwise(F.lit(default_rate)) if rate is not None
+            else F.lit(default_rate))
+    return (df.withColumn("_bucket", bucket)
+            .where(F.col("_bucket") < rate)
+            .drop("_bucket"))

@@ -334,3 +334,21 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[3]["text"] == "clean text only"
     assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) \
         == (0, 0, 0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from edspdf_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, {"a": 500, "b": 0})
+    got = {r["doc_id"] for r in out.collect()}
+    again = {r["doc_id"]
+             for r in stratified_sample(df.repartition(5),
+                                        {"a": 500, "b": 0}).collect()}
+    assert got == again  # repartition-stable
+    from collections import Counter
+    kept = Counter(s for i, s in rows if i in got)
+    assert kept["b"] == 0            # rate 0 drops the domain
+    assert kept["c"] == 1000         # default keeps everything
+    assert 400 <= kept["a"] <= 600   # ~half survive
