@@ -39,7 +39,8 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "dedup_exact", "dedup_minhash_lsh", "dedup_components",
            "lang_id", "token_count", "gopher_repetition",
            "pack_sequences", "bigram_coverage", "quality_funnel",
-           "sessionize", "url_normalize", "int8_quantize"]
+           "sessionize", "url_normalize", "int8_quantize",
+           "line_dedup", "pii_scrub"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
@@ -155,6 +156,31 @@ def main() -> None:
     for name, r in results.items():
         lines.append(f"| {name} | {r['t_1x']} | {r['t_10x']} "
                      f"| {r['ratio']}x |")
+    bf = results.get("simsearch_topk")
+    ivf = results.get("simsearch_ivf")
+    lines += [
+        "", "Reading:",
+        "- sub-linear ratios = fixed per-job overhead amortizing over "
+        "a bigger input (the healthy case for doc-local kernels and "
+        "codegen projections).",
+        "- near-10x ratios mean row-linear work (expected for "
+        "full-scan plans like brute-force ANN); super-linear ratios "
+        "flag plans that would break at scale.",
+    ]
+    worst = max(((r["ratio"], n) for n, r in results.items()
+                 if n != "simsearch_topk"), default=None)
+    if worst:
+        verdict = ("none exceeds ~10x" if worst[0] <= 10.5 else
+                   f"INVESTIGATE: {worst[1]} at {worst[0]}x")
+        lines.append(f"- worst non-baseline ratio: {worst[1]} at "
+                     f"{worst[0]}x ({verdict}).")
+    if bf and ivf:
+        lines.append(
+            f"- ANN crossover: brute-force scales at {bf['ratio']}x "
+            f"(row-linear scan, as designed — it is the recall=1 "
+            f"baseline), IVF at {ivf['ratio']}x; the cell-restricted "
+            f"join is the 100-TB path and the gap widens with corpus "
+            f"size.")
     with open(os.path.join(ROOT, "BENCH", "SCALE_CURVE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({"metric": "scale_curve_10x", "queries": results,
