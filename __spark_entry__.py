@@ -1897,6 +1897,128 @@ FROM pass
 """
 
 
+# duplicated-span window width: 10 tokens finds ~969 genuinely
+# repeated windows in the sf0.01 synth corpus (production: 50, per
+# Lee et al. 2021)
+SUBSTR_W = 10
+
+
+def q_substring_dedup(spark, sf_dir):
+    from edspdf_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), w=SUBSTR_W)
+
+
+def _substring_dedup_oracle() -> str:
+    w = SUBSTR_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+wins AS (
+  SELECT id, u.pos AS pos,
+         ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h FROM (
+    SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(tk) - {w - 1}, 0)),
+      i -> {{'pos': i,
+             's': array_to_string(tk[i:i+{w - 1}], ' ')}})) AS u
+    FROM toks)),
+rk AS (SELECT id, pos, row_number() OVER (PARTITION BY h
+                                          ORDER BY id, pos) AS rn
+       FROM wins),
+rem AS (SELECT id, pos FROM rk WHERE rn > 1),
+tr AS (
+  SELECT id, u.p AS p, u.tok AS tok FROM (
+    SELECT id, unnest(list_transform(generate_series(1, len(tk)),
+      p -> {{'p': p, 'tok': tk[p]}})) AS u FROM toks)),
+keep AS (
+  SELECT t.id, t.p, t.tok,
+    NOT EXISTS (SELECT 1 FROM rem r WHERE r.id = t.id
+                AND r.pos <= t.p AND t.p < r.pos + {w}) AS k
+  FROM tr t)
+SELECT id,
+  coalesce(string_agg(CASE WHEN k THEN tok END, ' ' ORDER BY p), '')
+    AS text,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN k THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM keep GROUP BY id
+"""
+
+
+# decontamination shingle width / benchmark selector: every 29th doc
+# plays the "eval set"; k=4 yields a non-trivial contaminated set in
+# the 24-word synth vocabulary (production: 13-grams, per GPT-3 App C)
+DECON_K = 4
+DECON_MOD = 29
+
+
+def q_decontaminate(spark, sf_dir):
+    from edspdf_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(f"doc_id % {DECON_MOD} = 0")
+    train = docs.where(f"doc_id % {DECON_MOD} <> 0")
+    return decontaminate(train, bench, k=DECON_K)
+
+
+def _decontaminate_oracle() -> str:
+    k = DECON_K
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(tk) - {k - 1}, 0)),
+      i -> array_to_string(tk[i:i+{k - 1}], ' ')))) AS s
+  FROM toks),
+bench AS (SELECT DISTINCT s FROM sh WHERE id % {DECON_MOD} = 0),
+hits AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh
+  JOIN bench USING (s) WHERE id % {DECON_MOD} <> 0 GROUP BY id)
+SELECT t.id, coalesce(h.n, 0)::BIGINT AS n_overlap,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM (SELECT id FROM toks WHERE id % {DECON_MOD} <> 0) t
+LEFT JOIN hits h ON t.id = h.id
+"""
+
+
+def q_quality_classify(spark, sf_dir):
+    from edspdf_spark.operators.analysis import quality_classify
+
+    return quality_classify(_docs(spark, sf_dir))
+
+
+def _quality_classify_oracle() -> str:
+    from edspdf_spark.operators.analysis import QC_BUCKETS, QC_LCG, QC_MOD
+
+    (a0, c0), (a1, c1) = QC_LCG[0], QC_LCG[1]
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+feats AS (
+  SELECT id, unnest(list_concat(tk,
+    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS f FROM toks),
+b AS (SELECT id,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % {QC_BUCKETS} AS b
+      FROM feats),
+w AS (SELECT id,
+             ((b+1)*{a0} + {c0}) % {QC_MOD} % 201 - 100 AS w0,
+             ((b+1)*{a1} + {c1}) % {QC_MOD} % 201 - 100 AS w1
+      FROM b)
+SELECT id, CAST(count(*) AS BIGINT) AS n_features,
+       sum(w0)::BIGINT AS score0, sum(w1)::BIGINT AS score1,
+       CAST(CASE WHEN sum(w1) > sum(w0) THEN 1 ELSE 0 END AS INTEGER)
+         AS label
+FROM w GROUP BY id
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -2155,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "int8_quantize": q_int8_quantize,
         "passage_dedup": q_passage_dedup,
+        "substring_dedup": q_substring_dedup,
+        "decontaminate": q_decontaminate,
+        "quality_classify": q_quality_classify,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -2553,6 +2678,9 @@ _ORACLES["domain_stats"] = _DOMAIN_STATS_ORACLE
 _ORACLES["blocklist_filter"] = _blocklist_oracle()
 _ORACLES["int8_quantize"] = _INT8_QUANTIZE_ORACLE
 _ORACLES["passage_dedup"] = _passage_oracle()
+_ORACLES["substring_dedup"] = _substring_dedup_oracle()
+_ORACLES["decontaminate"] = _decontaminate_oracle()
+_ORACLES["quality_classify"] = _quality_classify_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -609,3 +609,59 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
         counts["email"].alias("n_emails"),
         counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ips"))
+
+
+# hash-kernel linear quality classifier parameters (frozen "trained"
+# weights, derived from the bucket index via an LCG so Spark and the
+# DuckDB oracle can both compute them inline — no weight table ships)
+QC_BUCKETS = 4096
+QC_LCG = {0: (48271, 7), 1: (69621, 13)}  # class -> (A, C)
+QC_MOD = 1_000_003
+
+
+def _qc_weight(bucket, cls: int):
+    a, c = QC_LCG[cls]
+    return ((bucket + 1) * a + c) % QC_MOD % 201 - 100
+
+
+def quality_classify(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """fastText-architecture document classifier (Joulin et al. 2016:
+    bag of hashed unigram+bigram features -> linear scores), run with
+    frozen integer weights so scoring is exact and engine-portable.
+
+    Features are the token multiset plus positional bigrams (every
+    occurrence counts, matching fastText — not the distinct-shingle
+    form the dedup ops use). Each feature hashes into one of
+    QC_BUCKETS buckets (the hashing trick); per-class weights derive
+    from the bucket index by a fixed LCG. label = argmax(score),
+    ties -> class 0.
+
+    Output: (id, n_features, score0, score1, label).
+
+    Scale shape: explode -> codegen bucket/weight math -> ONE shuffle
+    into groupBy(id) with map-side partial sums. This is exactly how a
+    production fastText-quality pass (CCNet, DCLM) distributes: the
+    model is a broadcast-free closed form here; a real weight table
+    would be a broadcast array lookup with the same plan."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    n = F.size(F.col("tk"))
+    m = F.greatest(F.lit(0), n - 1)
+    z = F.arrays_zip(F.slice(F.col("tk"), 1, m).alias("w0"),
+                     F.slice(F.col("tk"), 2, m).alias("w1"))
+    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
+    feats = F.concat(F.col("tk"), bigrams)
+    ex = (base.select("id", F.explode(feats).alias("f"))
+          .select("id", (code15(F.col("f")) % QC_BUCKETS).alias("b")))
+    scored = ex.select("id", _qc_weight(F.col("b"), 0).alias("w0"),
+                       _qc_weight(F.col("b"), 1).alias("w1"))
+    agg = (scored.groupBy("id")
+           .agg(F.count("*").alias("n_features"),
+                F.sum("w0").alias("score0"),
+                F.sum("w1").alias("score1")))
+    return agg.select(
+        "id", F.col("n_features").cast("bigint"),
+        F.col("score0").cast("bigint"), F.col("score1").cast("bigint"),
+        F.when(F.col("score1") > F.col("score0"), 1).otherwise(0)
+        .cast("int").alias("label"))

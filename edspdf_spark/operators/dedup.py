@@ -216,6 +216,101 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
     return ex.withColumn("keep", F.row_number().over(w) == 1)
 
 
+def substring_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", w: int = 10) -> DataFrame:
+    """Exact duplicated-substring removal (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr method, re-expressed for Spark): every w-token window
+    that occurs more than once corpus-wide keeps only its FIRST
+    occurrence in (doc_id, pos) order; all other occurrences' token
+    spans are cut and each document is rebuilt from survivors.
+
+    The reference method uses a monolithic suffix array; the
+    distributed shape here is the standard rolling-window-hash
+    equivalent (same removals for spans of exactly w tokens; maximal
+    longer duplicates are covered because all their w-windows match).
+
+    Output: (id, text, n_tokens, n_removed) — text rebuilt from the
+    surviving tokens, single-space joined.
+
+    Scale shape (100 TB framing):
+    - windows travel as md5-prefix BIGINT codes, never the text; the
+      explode is ~n_tokens rows/doc, same order as the token count.
+    - first-occurrence ranking is ONE shuffle on the window hash.
+    - only duplicated-non-first positions survive to the rebuild, so
+      the groupBy(id) + join back to the corpus move a set that is
+      tiny relative to the corpus (AQE broadcasts it when small).
+    - the rebuild itself is doc-local column math: per-token interval
+      test against the doc's (few) removed starts, no extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("tk"))
+    n = F.size(F.col("tk"))
+    m = F.greatest(F.lit(0), n - w + 1)
+    # positional w-gram codes via slice-zip (see word_shingles note:
+    # transform(sequence, i -> slice(tk, i, w)) would inline tk's
+    # expression per element -> O(w * len^2))
+    parts = [F.slice(F.col("tk"), j + 1, m).alias(f"w{j}")
+             for j in range(w)]
+    wins = (base.select(
+        "id", F.posexplode(F.arrays_zip(*parts)).alias("pos0", "s"))
+        .select("id", (F.col("pos0") + 1).alias("pos"),
+                code15(F.concat_ws(
+                    " ", *[F.col(f"s.w{j}") for j in range(w)]))
+                .alias("h")))
+    rk = Window.partitionBy("h").orderBy("id", "pos")
+    removed = (wins.withColumn("rn", F.row_number().over(rk))
+               .where(F.col("rn") > 1)
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_set("pos")).alias("starts")))
+    joined = base.join(removed, "id", "left")
+    pos_tok = F.arrays_zip(
+        F.sequence(F.lit(1), F.size("tk")).alias("p"),
+        F.col("tk").alias("tok"))
+    kept = F.filter(
+        pos_tok,
+        lambda t: ~F.exists(F.col("starts"),
+                            lambda s: (s <= t["p"]) & (t["p"] < s + w)))
+    kept_toks = F.when(F.col("starts").isNull(), F.col("tk")) \
+        .otherwise(F.transform(kept, lambda t: t["tok"]))
+    return joined.select(
+        "id",
+        F.concat_ws(" ", kept_toks).alias("text"),
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        (F.size("tk") - F.size(kept_toks)).cast("bigint")
+        .alias("n_removed"))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 8, threshold: int = 1) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM method):
+    flag every training document that shares at least `threshold`
+    distinct k-gram shingles with an evaluation/benchmark table.
+
+    `benchmark` must expose the same (id_col, text_col) columns.
+    Output: one row per training doc — (id, n_overlap, contaminated).
+
+    Scale shape: the benchmark side is eval sets (MBs, not TBs) — its
+    distinct shingle codes are broadcast, so the corpus-side scan is
+    shuffle-free up to the per-doc overlap count (one groupBy(id) over
+    matched shingles only, a set near-empty for clean corpora)."""
+    doc_sh = shingle_table(df, id_col, text_col, k)
+    bench_codes = (shingle_table(benchmark, id_col, text_col, k)
+                   .select("code").distinct())
+    hits = (doc_sh.join(F.broadcast(bench_codes), "code")
+            .groupBy("id").agg(F.count("*").alias("n_overlap")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(hits, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    .cast("bigint").alias("n_overlap"),
+                    (F.coalesce(F.col("n_overlap"), F.lit(0))
+                     >= threshold).alias("contaminated")))
+
+
 def latest_by_key(df: DataFrame, key_col: str, ts_col: str,
                   tie_col: str) -> DataFrame:
     """Latest-capture dedup: keep the newest snapshot per key (the

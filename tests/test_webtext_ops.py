@@ -352,3 +352,81 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert kept["b"] == 0            # rate 0 drops the domain
     assert kept["c"] == 1000         # default keeps everything
     assert 400 <= kept["a"] <= 600   # ~half survive
+
+
+def test_substring_dedup_removes_later_occurrences(spark):
+    from edspdf_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"),        # holds the FIRST "a b c"
+         (1, "x y a b c q"),      # dup "a b c" at pos 3..5 -> cut
+         (2, "p q r p q r p q r"),  # self-repetition
+         (3, "z z")],             # shorter than the window: untouched
+        "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in substring_dedup(df, w=3).collect()}
+    assert rows[0]["text"] == "a b c d e"
+    assert rows[0]["n_removed"] == 0
+    assert rows[1]["text"] == "x y q"
+    assert rows[1]["n_removed"] == 3
+    # windows pos 4..7 are dups of pos 1..3 -> positions 4..9 cut
+    assert rows[2]["text"] == "p q r"
+    assert rows[2]["n_removed"] == 6
+    assert rows[3]["text"] == "z z"
+    assert rows[3]["n_tokens"] == 2
+
+
+def test_substring_dedup_first_occurrence_is_global_order(spark):
+    from edspdf_spark.operators.dedup import substring_dedup
+
+    # the same window in two docs: the LOWER doc_id keeps it
+    df = spark.createDataFrame(
+        [(7, "k l m"), (2, "k l m")], "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in substring_dedup(df, w=3).collect()}
+    assert rows[2]["n_removed"] == 0
+    assert rows[7]["n_removed"] == 3
+    assert rows[7]["text"] == ""
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from edspdf_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "m n o p")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "q r m n s"),   # shares the 2-gram "m n"
+         (1, "u v w"),       # clean
+         (2, "n o p p n o")],  # shares "n o" and "o p" (distinct: 2)
+        "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in decontaminate(train, bench, k=2).collect()}
+    assert rows[0]["n_overlap"] == 1 and rows[0]["contaminated"]
+    assert rows[1]["n_overlap"] == 0 and not rows[1]["contaminated"]
+    assert rows[2]["n_overlap"] == 2 and rows[2]["contaminated"]
+
+
+def test_quality_classify_matches_manual_hash_kernel(spark):
+    import hashlib
+
+    from edspdf_spark.operators.analysis import (QC_BUCKETS, QC_LCG,
+                                                 QC_MOD, quality_classify)
+
+    text = "the quick brown fox the quick"
+    toks = text.split(" ")
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def weight(f, cls):
+        code = int(hashlib.md5(f.encode()).hexdigest()[:15], 16)
+        b = code % QC_BUCKETS
+        a, c = QC_LCG[cls]
+        return ((b + 1) * a + c) % QC_MOD % 201 - 100
+
+    s0 = sum(weight(f, 0) for f in feats)
+    s1 = sum(weight(f, 1) for f in feats)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = quality_classify(df).collect()[0]
+    assert r["n_features"] == len(feats)
+    assert r["score0"] == s0
+    assert r["score1"] == s1
+    assert r["label"] == (1 if s1 > s0 else 0)
