@@ -110,7 +110,8 @@ def main() -> None:
                 "passage_dedup", "gopher_repetition", "pack_sequences",
                 "latest_capture", "url_normalize", "sessionize",
                 "bigram_coverage", "quality_funnel", "line_dedup",
-                "pii_scrub"]
+                "pii_scrub", "substring_dedup", "decontaminate",
+                "quality_classify"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -644,8 +644,11 @@ def quality_classify(df: DataFrame, id_col: str = "doc_id",
     production fastText-quality pass (CCNet, DCLM) distributes: the
     model is a broadcast-free closed form here; a real weight table
     would be a broadcast array lookup with the same plan."""
+    from edspdf_spark.plans.salt import spread_compute
+
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    base = spread_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), toks.alias("tk"))
     n = F.size(F.col("tk"))
     m = F.greatest(F.lit(0), n - 1)
     z = F.arrays_zip(F.slice(F.col("tk"), 1, m).alias("w0"),

@@ -245,8 +245,10 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("id"),
-                     tokens(F.col(text_col)).alias("tk"))
+    from edspdf_spark.plans.salt import spread_compute
+
+    base = spread_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
     n = F.size(F.col("tk"))
     m = F.greatest(F.lit(0), n - w + 1)
     # positional w-gram codes via slice-zip (see word_shingles note:
@@ -297,7 +299,10 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     distinct shingle codes are broadcast, so the corpus-side scan is
     shuffle-free up to the per-doc overlap count (one groupBy(id) over
     matched shingles only, a set near-empty for clean corpora)."""
-    doc_sh = shingle_table(df, id_col, text_col, k)
+    from edspdf_spark.plans.salt import spread_compute
+
+    doc_sh = shingle_table(spread_compute(df.select(id_col, text_col)),
+                           id_col, text_col, k)
     bench_codes = (shingle_table(benchmark, id_col, text_col, k)
                    .select("code").distinct())
     hits = (doc_sh.join(F.broadcast(bench_codes), "code")

@@ -53,3 +53,22 @@ def bucket_of(url_col, n_buckets: int):
     """Deterministic bucket id for checkpoint/resume (plans/checkpoint.py):
     non-negative xxhash64(url) mod n_buckets."""
     return (F.pmod(F.xxhash64(url_col), F.lit(n_buckets))).cast("int")
+
+
+def spread_compute(df: DataFrame,
+                   min_partitions: Optional[int] = None) -> DataFrame:
+    """Row-preserving repartition applied ONLY when the input plan is
+    narrower than the core count.
+
+    A small parquet file scans as one task no matter the cluster
+    width, which serializes any heavy map-side compute (explodes,
+    per-token hashing) behind it — file splitting sees bytes, not
+    downstream cost. On a production-scale scan the source already has
+    more partitions than cores and this is a plan-time no-op, so the
+    extra exchange is paid exactly when it buys parallelism.
+    """
+    width = (min_partitions
+             or df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
