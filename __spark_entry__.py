@@ -2019,6 +2019,107 @@ FROM w GROUP BY id
 """
 
 
+def q_lm_ppl_buckets(spark, sf_dir):
+    from edspdf_spark.operators.analysis import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(_docs(spark, sf_dir))
+
+
+_LM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT id, u.w1 AS w1, u.bg AS bg FROM (
+    SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(tk) - 1, 0)),
+      i -> {'w1': tk[i], 'bg': tk[i] || ' ' || tk[i+1]})) AS u
+    FROM toks)),
+c1 AS (SELECT w, count(*)::BIGINT AS c
+       FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+c2 AS (SELECT bg, count(*)::BIGINT AS c FROM bg GROUP BY bg),
+sc AS (
+  SELECT b.id,
+         (length(bin(c2.c)) - 1) - (length(bin(c1.c)) - 1) AS lp
+  FROM bg b JOIN c1 ON b.w1 = c1.w JOIN c2 ON b.bg = c2.bg),
+agg AS (SELECT id, count(*)::BIGINT AS nb, sum(lp)::BIGINT AS lq
+        FROM sc GROUP BY id),
+j AS (
+  SELECT t.id, coalesce(g.nb, 0)::BIGINT AS n_bigrams,
+         g.lq::BIGINT AS logq,
+         CASE WHEN g.nb > 0 THEN CAST(g.lq AS DOUBLE) / g.nb END
+           AS avg_logq
+  FROM (SELECT id FROM toks) t LEFT JOIN agg g USING (id))
+SELECT id, n_bigrams, logq, avg_logq,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM (SELECT *, ntile(3) OVER (ORDER BY avg_logq DESC NULLS LAST, id)
+        AS t FROM j)
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    from edspdf_spark.operators.simsearch import semantic_dedup
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(101 AS DOUBLE)/100)")
+        .alias("embedding"))
+    corpus = emb.unionByName(scaled)
+    return semantic_dedup(corpus, _train_centroids(_IVF_FROZEN_DIR),
+                          threshold=0.98)
+
+
+def _semantic_dedup_oracle() -> str:
+    cents = _train_centroids(_IVF_FROZEN_DIR)
+    rows = ", ".join(
+        f"({j}, {int(sum(v * v for v in c))}::BIGINT, "
+        "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[])"
+        for j, c in enumerate(cents))
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> x * CAST(101 AS DOUBLE)/100)
+         AS embedding
+  FROM embeddings
+),
+cent(cell_idx, cn2, cv) AS (VALUES {rows}),
+""" + _QUANT_SQL.format(src="corpus") + f""",
+dist AS (
+  SELECT n.id, n.qv, n.norm2, c.cell_idx,
+         c.cn2 - 2::BIGINT * list_sum(
+           list_transform(generate_series(1, 64),
+                          i -> n.qv[i] * c.cv[i]))::BIGINT AS d
+  FROM n CROSS JOIN cent c
+),
+assigned AS (
+  SELECT id, qv, norm2, cell_idx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d, cell_idx) AS rn
+    FROM dist) WHERE rn = 1),
+pairs AS (
+  SELECT x.id AS id_a,
+         (SELECT sum(a * bb)
+          FROM (SELECT unnest(x.qv) AS a, unnest(y.qv) AS bb) z)::BIGINT
+         AS dot,
+         x.norm2 AS n2_a, y.norm2 AS n2_b
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND y.id < x.id
+),
+dup AS (
+  SELECT DISTINCT id_a AS id FROM pairs
+  WHERE CAST(dot AS DOUBLE) / (sqrt(n2_a) * sqrt(n2_b))
+        >= CAST(98 AS DOUBLE)/100
+)
+SELECT a.id, CAST(a.cell AS INTEGER) AS cell, d.id IS NULL AS keep
+FROM assigned a LEFT JOIN dup d ON a.id = d.id
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -2280,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "decontaminate": q_decontaminate,
         "quality_classify": q_quality_classify,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -2681,6 +2784,8 @@ _ORACLES["passage_dedup"] = _passage_oracle()
 _ORACLES["substring_dedup"] = _substring_dedup_oracle()
 _ORACLES["decontaminate"] = _decontaminate_oracle()
 _ORACLES["quality_classify"] = _quality_classify_oracle()
+_ORACLES["lm_ppl_buckets"] = _LM_PPL_ORACLE
+_ORACLES["semantic_dedup"] = None      # filled lazily (needs centroids)
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -2733,5 +2838,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
+    out["semantic_dedup"] = _semantic_dedup_oracle()
     out["multimodal_meta"] = _multimodal_oracle()
     return out

@@ -668,3 +668,85 @@ def quality_classify(df: DataFrame, id_col: str = "doc_id",
         F.col("score0").cast("bigint"), F.col("score1").cast("bigint"),
         F.when(F.col("score1") > F.col("score0"), 1).otherwise(0)
         .cast("int").alias("label"))
+
+
+def lm_perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          cutoffs: "tuple[float, float] | None" = None
+                          ) -> DataFrame:
+    """CCNet-style LM-perplexity corpus split (Wenzek et al. 2019:
+    score each document with an n-gram language model, divide the
+    corpus into head/middle/tail thirds by perplexity).
+
+    The LM here is a bigram model trained on the corpus itself (one
+    counting pass; production CCNet trains on a trusted reference
+    corpus once and broadcasts it — the scoring plan is identical,
+    only the counts' provenance changes). Log-probabilities use
+    integer log2 (floor(log2 c) = length(bin(c)) - 1), so every score
+    is exact integer arithmetic and engine-portable:
+
+        logq(doc) = sum over bigrams (w1 w2) of
+                    ilog2(c2(w1 w2)) - ilog2(c1(w1))   (<= 0)
+        avg_logq  = logq / n_bigrams   (higher = more predictable,
+                                        i.e. LOWER perplexity)
+
+    Bucketing: with `cutoffs=(hi, lo)` given (the production path —
+    frozen thresholds from a profiling run, exactly how CCNet ships
+    its cutoffs), bucket by pure comparison: avg_logq >= hi -> head,
+    >= lo -> middle, else tail — a map-side operation, no global
+    sort. With cutoffs=None, exact terciles via ntile(3) ordered by
+    (avg_logq DESC NULLS LAST, id): the window input is only
+    (id, counts) — bytes per doc, not the corpus — but it is a global
+    sort; at 10^12 docs freeze cutoffs instead.
+
+    Output: (id, n_bigrams, logq, avg_logq, bucket).
+
+    Scale shape: unigram/bigram count tables are vocab-sized (tiny vs
+    the corpus) and broadcast back; the only corpus-scale shuffle is
+    the per-doc groupBy(id) partial-aggregated sum.
+    """
+    from pyspark.sql import Window
+
+    from edspdf_spark.plans.salt import spread_compute
+
+    base = spread_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    n = F.size(F.col("tk"))
+    m = F.greatest(F.lit(0), n - 1)
+    z = F.arrays_zip(F.slice(F.col("tk"), 1, m).alias("w0"),
+                     F.slice(F.col("tk"), 2, m).alias("w1"))
+    bg = base.select(
+        "id", F.explode(z).alias("s")).select(
+        "id", F.col("s.w0").alias("w1"),
+        F.concat_ws(" ", F.col("s.w0"), F.col("s.w1")).alias("bg"))
+    c1 = (base.select(F.explode("tk").alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c1")))
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    sc = (bg.join(F.broadcast(c1), bg["w1"] == c1["w"])
+          .join(F.broadcast(c2), "bg")
+          .select("id", (ilog2(F.col("c2")) - ilog2(F.col("c1")))
+                  .alias("lp")))
+    agg = (sc.groupBy("id")
+           .agg(F.count("*").alias("nb"), F.sum("lp").alias("lq")))
+    j = (base.select("id").join(agg, "id", "left")
+         .select(
+             "id",
+             F.coalesce(F.col("nb"), F.lit(0)).cast("bigint")
+             .alias("n_bigrams"),
+             F.col("lq").cast("bigint").alias("logq"),
+             F.when(F.col("nb") > 0,
+                    F.col("lq").cast("double") / F.col("nb"))
+             .alias("avg_logq")))
+    if cutoffs is not None:
+        hi, lo = cutoffs
+        bucket = (F.when(F.col("avg_logq") >= hi, "head")
+                  .when(F.col("avg_logq") >= lo, "middle")
+                  .otherwise("tail"))
+    else:
+        w = Window.orderBy(F.desc_nulls_last("avg_logq"), F.asc("id"))
+        t = F.ntile(3).over(w)
+        bucket = (F.when(t == 1, "head").when(t == 2, "middle")
+                  .otherwise("tail"))
+    return j.select("id", "n_bigrams", "logq", "avg_logq",
+                    bucket.alias("bucket"))

@@ -241,3 +241,49 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("id"),
         F.size(F.col(vec_col)).cast("int").alias("dim"),
         scale.alias("scale"), qvec.alias("qvec"), l1.alias("l1"))
+
+
+def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then inside each cluster drop every item that has
+    a sufficiently cosine-similar item with a smaller id (the
+    deterministic keep-one rule; the paper's keeper choice is a free
+    parameter). Cross-cluster near-duplicates are never compared —
+    that is the approximation that makes the method linear-ish.
+
+    `centroids` are quantized-integer k-means cells (kmeans_fit),
+    trained offline on a sample and frozen — the same production
+    practice as the IVF coarse quantizer, and what keeps cell
+    assignment exact in both engines.
+
+    Output: (id, cell, keep) — one row per input vector; rows with
+    NULL/wrong-dimension vectors get cell = -1 and keep = true (never
+    silently dropped).
+
+    Scale shape (100 TB framing): cell assignment is the zero-shuffle
+    Arrow int64 matmul (_with_cell); the pair join shuffles on the
+    cell id, so cell count must grow ~sqrt(N) with the corpus to keep
+    per-cell candidate lists (the quadratic term) bounded; the
+    drop-set is distinct ids only and broadcasts back via AQE.
+    """
+    q = _with_cell(_with_quantized(df, id_col, vec_col), centroids)
+    a = q.where(F.col("cell") >= 0).select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
+        F.col("norm2").alias("n2_a"), "cell")
+    b = q.where(F.col("cell") >= 0).select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+        F.col("norm2").alias("n2_b"), "cell")
+    dup = (a.join(b, "cell")
+           .where(F.col("id_b") < F.col("id_a"))
+           .withColumn("dot", int_dot(F.col("qv_a"), F.col("qv_b")))
+           .withColumn("cos", F.col("dot") /
+                       (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))))
+           .where(F.col("cos") >= threshold)
+           .select(F.col("id_a").alias("id")).distinct()
+           .withColumn("dup", F.lit(True)))
+    return (q.join(dup, "id", "left")
+            .select("id", "cell",
+                    F.col("dup").isNull().alias("keep")))

@@ -430,3 +430,55 @@ def test_quality_classify_matches_manual_hash_kernel(spark):
     assert r["score0"] == s0
     assert r["score1"] == s1
     assert r["label"] == (1 if s1 > s0 else 0)
+
+
+def test_lm_ppl_buckets_hand_counts(spark):
+    from edspdf_spark.operators.analysis import lm_perplexity_buckets
+
+    # corpus counts: c1(a)=3 c1(b)=3 c1(c)=1 c1(x)=1;
+    # c2("a b")=3, c2("b a")=1, c2("b c")=1; ilog2: 3->1, 1->0
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in lm_perplexity_buckets(df).collect()}
+    assert rows[0]["logq"] == -1 and rows[0]["n_bigrams"] == 3
+    assert rows[1]["logq"] == -1 and rows[1]["n_bigrams"] == 2
+    assert rows[2]["logq"] is None and rows[2]["n_bigrams"] == 0
+    assert abs(rows[0]["avg_logq"] - (-1 / 3)) < 1e-12
+    # exact-tercile path: best avg -> head, NULL -> last bucket
+    assert rows[0]["bucket"] == "head"
+    assert rows[1]["bucket"] == "middle"
+    assert rows[2]["bucket"] == "tail"
+
+
+def test_lm_ppl_buckets_frozen_cutoffs(spark):
+    from edspdf_spark.operators.analysis import lm_perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string")
+    rows = {r["id"]: r["bucket"]
+            for r in lm_perplexity_buckets(
+                df, cutoffs=(-0.4, -0.6)).collect()}
+    assert rows == {0: "head", 1: "middle", 2: "tail"}
+
+
+def test_semantic_dedup_keeps_first_per_cluster(spark):
+    from edspdf_spark.operators.simsearch import semantic_dedup
+
+    cents = [[1000, 0], [-1000, 0]]
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.01]),       # cluster 0, first -> kept
+         (1, [1.0, 0.0100001]),  # ~identical, larger id -> dropped
+         (2, [-1.0, 0.0]),       # cluster 1, alone -> kept
+         (3, [0.0, 1.0]),        # cluster 0 but orthogonal -> kept
+         (4, None)],             # invalid vector -> cell -1, kept
+        "vec_id long, embedding array<float>")
+    rows = {r["id"]: r.asDict()
+            for r in semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert rows[0]["keep"] and rows[0]["cell"] == 0
+    assert not rows[1]["keep"] and rows[1]["cell"] == 0
+    assert rows[2]["keep"] and rows[2]["cell"] == 1
+    assert rows[3]["keep"] and rows[3]["cell"] == 0
+    assert rows[4]["keep"] and rows[4]["cell"] == -1
