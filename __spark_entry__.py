@@ -2120,6 +2120,88 @@ FROM assigned a LEFT JOIN dup d ON a.id = d.id
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    from edspdf_spark.operators.analysis import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    # target domain sample = the English slice (production: a small
+    # trusted-quality corpus); raw = everything. cutoff -115 ~ the
+    # corpus median weight (|target| ~ 0.44|raw| puts every weight
+    # near n_features * log2(0.44)), so `selected` genuinely splits
+    return dsir_weights(docs, docs.where("lang = 'en'"), cutoff=-115)
+
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+feats AS (
+  SELECT id, lang, unnest(list_concat(tk,
+    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS f FROM toks),
+fb AS (SELECT id, lang,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+       FROM feats),
+cr AS (SELECT b, count(*)::BIGINT AS c FROM fb GROUP BY b),
+ct AS (SELECT b, count(*)::BIGINT AS c FROM fb WHERE lang = 'en'
+       GROUP BY b),
+sc AS (
+  SELECT fb.id,
+         (length(bin(coalesce(ct.c, 0) + 1)) - 1)
+         - (length(bin(cr.c + 1)) - 1) AS lp
+  FROM fb JOIN cr USING (b) LEFT JOIN ct USING (b))
+SELECT id, count(*)::BIGINT AS n_features, sum(lp)::BIGINT AS weight,
+       sum(lp) >= -115 AS selected
+FROM sc GROUP BY id
+"""
+
+
+def q_knn_classify(spark, sf_dir):
+    from edspdf_spark.operators.simsearch import knn_classify
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return knn_classify(emb, queries, k=5)
+
+
+def _knn_oracle() -> str:
+    # deferred: _QUANT_SQL is defined further down, next to the other
+    # embedding oracles; this runs at registration time
+    return ("""
+WITH
+""" + _QUANT_SQL.format(src="embeddings") + """,
+qry AS (SELECT id AS query_id, qv AS q_qv, norm2 AS q_norm2
+        FROM n WHERE id % 50 = 0),
+scored AS (
+  SELECT qry.query_id, n.id,
+         (SELECT sum(a * b)
+          FROM (SELECT unnest(n.qv) AS a, unnest(qry.q_qv) AS b) z)::BIGINT
+         AS dot,
+         n.norm2, qry.q_norm2
+  FROM n CROSS JOIN qry WHERE n.id <> qry.query_id
+),
+ranked AS (
+  SELECT query_id, id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(norm2) * sqrt(q_norm2)) DESC,
+                    id ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT t.query_id, e.label AS nl, count(*)::BIGINT AS n_votes
+  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5) t
+  JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, nl AS pred_label, n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY n_votes DESC, nl ASC) AS rn FROM votes)
+WHERE rn = 1
+""")  # noqa: E501
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -2383,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classify": q_quality_classify,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
+        "knn_classify": q_knn_classify,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -2786,6 +2870,8 @@ _ORACLES["decontaminate"] = _decontaminate_oracle()
 _ORACLES["quality_classify"] = _quality_classify_oracle()
 _ORACLES["lm_ppl_buckets"] = _LM_PPL_ORACLE
 _ORACLES["semantic_dedup"] = None      # filled lazily (needs centroids)
+_ORACLES["dsir_select"] = _DSIR_ORACLE
+_ORACLES["knn_classify"] = _knn_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -111,7 +111,8 @@ def main() -> None:
                 "latest_capture", "url_normalize", "sessionize",
                 "bigram_coverage", "quality_funnel", "line_dedup",
                 "pii_scrub", "substring_dedup", "decontaminate",
-                "quality_classify", "lm_ppl_buckets", "semantic_dedup"]
+                "quality_classify", "lm_ppl_buckets", "semantic_dedup",
+                "dsir_select", "knn_classify"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -624,6 +624,27 @@ def _qc_weight(bucket, cls: int):
     return ((bucket + 1) * a + c) % QC_MOD % 201 - 100
 
 
+def hashed_feature_buckets(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           buckets: int = QC_BUCKETS) -> DataFrame:
+    """(id, b) rows: one per unigram+bigram occurrence, b = hashed
+    bucket (the fastText/DSIR hashing trick). Shared by
+    quality_classify and dsir_weights."""
+    from edspdf_spark.plans.salt import spread_compute
+
+    toks = tokens(F.col(text_col))
+    base = spread_compute(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), toks.alias("tk"))
+    n = F.size(F.col("tk"))
+    m = F.greatest(F.lit(0), n - 1)
+    z = F.arrays_zip(F.slice(F.col("tk"), 1, m).alias("w0"),
+                     F.slice(F.col("tk"), 2, m).alias("w1"))
+    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
+    feats = F.concat(F.col("tk"), bigrams)
+    return (base.select("id", F.explode(feats).alias("f"))
+            .select("id", (code15(F.col("f")) % buckets).alias("b")))
+
+
 def quality_classify(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """fastText-architecture document classifier (Joulin et al. 2016:
@@ -644,19 +665,7 @@ def quality_classify(df: DataFrame, id_col: str = "doc_id",
     production fastText-quality pass (CCNet, DCLM) distributes: the
     model is a broadcast-free closed form here; a real weight table
     would be a broadcast array lookup with the same plan."""
-    from edspdf_spark.plans.salt import spread_compute
-
-    toks = tokens(F.col(text_col))
-    base = spread_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), toks.alias("tk"))
-    n = F.size(F.col("tk"))
-    m = F.greatest(F.lit(0), n - 1)
-    z = F.arrays_zip(F.slice(F.col("tk"), 1, m).alias("w0"),
-                     F.slice(F.col("tk"), 2, m).alias("w1"))
-    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w0"], s["w1"]))
-    feats = F.concat(F.col("tk"), bigrams)
-    ex = (base.select("id", F.explode(feats).alias("f"))
-          .select("id", (code15(F.col("f")) % QC_BUCKETS).alias("b")))
+    ex = hashed_feature_buckets(df, id_col, text_col)
     scored = ex.select("id", _qc_weight(F.col("b"), 0).alias("w0"),
                        _qc_weight(F.col("b"), 1).alias("w1"))
     agg = (scored.groupBy("id")
@@ -750,3 +759,51 @@ def lm_perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                   .otherwise("tail"))
     return j.select("id", "n_bigrams", "logq", "avg_logq",
                     bucket.alias("bucket"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 buckets: int = QC_BUCKETS,
+                 cutoff: int = 0) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram features are
+    under a small TARGET-domain sample than under the raw corpus,
+    then select the high-importance documents.
+
+    log importance weight of a doc, integer-quantized (log2 via
+    length(bin(c)) - 1, exact in both engines):
+
+        weight = sum over features f of
+                 ilog2(c_target(b(f)) + 1) - ilog2(c_raw(b(f)) + 1)
+
+    (+1 = add-one smoothing: features unseen in the target contribute
+    their raw-frequency penalty instead of -inf). `selected` =
+    weight >= cutoff — DSIR proper resamples proportionally; the
+    frozen-threshold form is the deterministic streaming equivalent
+    (pair with sampling.hash_split for rate control).
+
+    Output: (id, n_features, weight, selected).
+
+    Scale shape: both bucket-count tables are at most `buckets` rows
+    (hashing trick = fixed-size model) and broadcast; the corpus-side
+    scan is explode -> map-side partial sums -> ONE groupBy(id)
+    shuffle. The target sample is small by construction (DSIR targets
+    are quality subsets, not corpora)."""
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    feats = hashed_feature_buckets(df, id_col, text_col, buckets)
+    cr = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = (hashed_feature_buckets(target, id_col, text_col, buckets)
+          .groupBy("b").agg(F.count("*").alias("ct")))
+    lp = (ilog2(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+          - ilog2(F.col("cr") + F.lit(1)))
+    scored = (feats.join(F.broadcast(cr), "b")
+              .join(F.broadcast(ct), "b", "left")
+              .select("id", lp.alias("lp")))
+    agg = (scored.groupBy("id")
+           .agg(F.count("*").alias("n_features"),
+                F.sum("lp").alias("weight")))
+    return agg.select(
+        "id", F.col("n_features").cast("bigint"),
+        F.col("weight").cast("bigint"),
+        (F.col("weight") >= cutoff).alias("selected"))

@@ -287,3 +287,41 @@ def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
     return (q.join(dup, "id", "left")
             .select("id", "cell",
                     F.col("dup").isNull().alias("keep")))
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 centroids=None, n_probe: int = 1) -> DataFrame:
+    """k-NN majority-vote classifier over an embedding column — the
+    standard embedding-space labeler for corpus curation (propagate a
+    small seed set's labels to the whole corpus, e.g. quality or
+    topic tags).
+
+    Neighbors come from brute_force_topk (recall=1), or from
+    ivf_topk when `centroids` is given — the scale path: identical
+    output columns, cell-restricted search (recall dial = n_probe).
+    Vote: the label held by the most of the k nearest neighbors;
+    ties break to the SMALLEST label (deterministic).
+
+    Output: (query_id, pred_label, n_votes).
+    """
+    if centroids is not None:
+        topk = ivf_topk(corpus, queries, centroids, k=k,
+                        n_probe=n_probe, id_col=id_col, vec_col=vec_col)
+    else:
+        topk = brute_force_topk(corpus, queries, k=k,
+                                id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("nl"))
+    # broadcast the SMALL side: top-k is queries x k rows; the label
+    # table is the whole corpus and must keep streaming map-side
+    votes = (labels.join(F.broadcast(topk), "neighbor_id")
+             .groupBy("query_id", "nl")
+             .agg(F.count("*").alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"),
+                                               F.asc("nl"))
+    return (votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("query_id", F.col("nl").alias("pred_label"),
+                    F.col("n_votes").cast("bigint").alias("n_votes")))

@@ -482,3 +482,78 @@ def test_semantic_dedup_keeps_first_per_cluster(spark):
     assert rows[2]["keep"] and rows[2]["cell"] == 1
     assert rows[3]["keep"] and rows[3]["cell"] == 0
     assert rows[4]["keep"] and rows[4]["cell"] == -1
+
+
+def test_dsir_weights_hand_computed(spark):
+    import hashlib
+
+    from edspdf_spark.operators.analysis import QC_BUCKETS, dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "c c")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(0, "a b")], "doc_id long, text string")
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % QC_BUCKETS
+
+    # feature multisets (unigrams + bigrams)
+    feats = {0: ["a", "b", "a b"], 1: ["a", "c", "a c"],
+             2: ["c", "c", "c c"]}
+    cr: dict = {}
+    for fs in feats.values():
+        for f in fs:
+            cr[bucket(f)] = cr.get(bucket(f), 0) + 1
+    ct: dict = {}
+    for f in feats[0]:
+        ct[bucket(f)] = ct.get(bucket(f), 0) + 1
+
+    def ilog2(n):
+        return n.bit_length() - 1
+
+    rows = {r["id"]: r.asDict()
+            for r in dsir_weights(raw, target).collect()}
+    for i, fs in feats.items():
+        want = sum(ilog2(ct.get(bucket(f), 0) + 1) - ilog2(cr[bucket(f)] + 1)
+                   for f in fs)
+        assert rows[i]["weight"] == want, (i, rows[i], want)
+        assert rows[i]["n_features"] == 3
+        assert rows[i]["selected"] == (want >= 0)
+    # the target-matching doc must outscore the disjoint one
+    assert rows[0]["weight"] > rows[2]["weight"]
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from edspdf_spark.operators.simsearch import knn_classify
+
+    # 1-d embeddings: cosine is sign-based, so craft neighbors by sign
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [0.8, 0.2], 5),
+         (4, [-1.0, 0.0], 3), (5, [0.7, 0.3], 5)],
+        "vec_id long, embedding array<float>, label int")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id long, embedding array<float>")
+    r = knn_classify(corpus, queries, k=4).collect()
+    assert len(r) == 1
+    # 4-NN = {1,2,3,5}: labels 7,7,5,5 -> 2-2 tie -> smallest label 5
+    assert r[0]["query_id"] == 100
+    assert r[0]["pred_label"] == 5
+    assert r[0]["n_votes"] == 2
+
+
+def test_knn_classify_ivf_path_agrees(spark):
+    from edspdf_spark.operators.simsearch import knn_classify
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7) / 7 + 0.1, float(i % 3) / 3 + 0.1], i % 4)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label int")
+    queries = corpus.where("vec_id % 10 = 0").drop("label")
+    brute = {r["query_id"]: r["pred_label"]
+             for r in knn_classify(corpus, queries, k=3).collect()}
+    # one cell -> IVF search space == brute force
+    ivf = {r["query_id"]: r["pred_label"]
+           for r in knn_classify(corpus, queries, k=3,
+                                 centroids=[[500, 500]]).collect()}
+    assert brute == ivf and len(brute) == 4
