@@ -40,7 +40,10 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "lang_id", "token_count", "gopher_repetition",
            "pack_sequences", "bigram_coverage", "quality_funnel",
            "sessionize", "url_normalize", "int8_quantize",
-           "line_dedup", "pii_scrub"]
+           "line_dedup", "pii_scrub", "substring_dedup",
+           "decontaminate", "quality_classify", "lm_ppl_buckets",
+           "semantic_dedup", "dsir_select", "knn_classify",
+           "badwords_filter", "warc_roundtrip", "token_budget"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)

@@ -2202,6 +2202,96 @@ WHERE rn = 1
 """)  # noqa: E501
 
 
+# C4-rule bad-word list for the contract query: "dup" occurs in ~5%
+# of synth docs (a real split); "unseen" never matches (no-hit path)
+BADWORDS = ["dup", "unseen"]
+
+
+def q_badwords_filter(spark, sf_dir):
+    from edspdf_spark.operators.analysis import word_blocklist_filter
+
+    return word_blocklist_filter(_docs(spark, sf_dir), BADWORDS)
+
+
+def _badwords_oracle() -> str:
+    lst = ", ".join(f"'{w}'" for w in BADWORDS)
+    return f"""
+SELECT doc_id AS id,
+       len(list_filter(list_filter(string_split(text, ' '),
+                                   x -> x <> ''),
+                       t -> list_contains([{lst}], lower(t))))::BIGINT
+         AS n_hits,
+       len(list_filter(list_filter(string_split(text, ' '),
+                                   x -> x <> ''),
+                       t -> list_contains([{lst}], lower(t)))) = 0
+         AS keep
+FROM documents
+"""
+
+
+# per-domain token budget sized so `keep` genuinely splits each
+# domain (~60/40 at sf0.01) rather than degenerating to all-true
+TOKEN_BUDGET = 600
+
+
+def q_token_budget(spark, sf_dir):
+    from edspdf_spark.operators.analysis import token_budget_select
+
+    return token_budget_select(_docs(spark, sf_dir), TOKEN_BUDGET)
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, source AS domain,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS rk
+  FROM documents)
+SELECT id, domain, n_tokens,
+       coalesce(sum(n_tokens) OVER (
+         PARTITION BY domain ORDER BY rk, id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS cum_before,
+       coalesce(sum(n_tokens) OVER (
+         PARTITION BY domain ORDER BY rk, id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         < {TOKEN_BUDGET} AS keep
+FROM base
+"""
+
+
+WARC_TS = "2024-01-01T00:00:00Z"
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """Render every document as a WARC/1.0 response record (native
+    codegen concat), then parse the bytes back through the WARC
+    kernel — the oracle checks the parse inverts the render exactly."""
+    from edspdf_spark.sources.warc import (parse_warc_column,
+                                           render_warc_record)
+
+    docs = _docs(spark, sf_dir)
+    blobs = docs.select(render_warc_record(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")),
+        F.lit(WARC_TS), F.col("text")).alias("blob"))
+    rec = parse_warc_column(blobs, "blob")
+    return rec.select("url", "warc_ts", "warc_type",
+                      F.col("content").cast("string").alias("text"),
+                      "n_bytes")
+
+
+_WARC_ORACLE = f"""
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       '{WARC_TS}' AS warc_ts,
+       'response' AS warc_type,
+       text,
+       octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -2467,6 +2557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "knn_classify": q_knn_classify,
+        "badwords_filter": q_badwords_filter,
+        "warc_roundtrip": q_warc_roundtrip,
+        "token_budget": q_token_budget,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -2872,6 +2965,9 @@ _ORACLES["lm_ppl_buckets"] = _LM_PPL_ORACLE
 _ORACLES["semantic_dedup"] = None      # filled lazily (needs centroids)
 _ORACLES["dsir_select"] = _DSIR_ORACLE
 _ORACLES["knn_classify"] = _knn_oracle()
+_ORACLES["badwords_filter"] = _badwords_oracle()
+_ORACLES["warc_roundtrip"] = _WARC_ORACLE
+_ORACLES["token_budget"] = _token_budget_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

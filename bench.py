@@ -112,7 +112,8 @@ def main() -> None:
                 "bigram_coverage", "quality_funnel", "line_dedup",
                 "pii_scrub", "substring_dedup", "decontaminate",
                 "quality_classify", "lm_ppl_buckets", "semantic_dedup",
-                "dsir_select", "knn_classify"]
+                "dsir_select", "knn_classify", "badwords_filter",
+                "warc_roundtrip", "token_budget"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

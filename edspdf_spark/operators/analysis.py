@@ -807,3 +807,67 @@ def dsir_weights(df: DataFrame, target: DataFrame,
         "id", F.col("n_features").cast("bigint"),
         F.col("weight").cast("bigint"),
         (F.col("weight") >= cutoff).alias("selected"))
+
+
+def word_blocklist_filter(df: DataFrame, words,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """C4-style bad-word page filter (Raffel et al. 2020 §2.2: drop
+    any page containing a word from a blocklist; C4 uses the public
+    "dirty naughty" list). Matching is lowercased whole-token
+    equality — the C4 rule, not substring search.
+
+    Output: (id, n_hits, keep) — n_hits counts blocklisted token
+    occurrences; keep = no hits.
+
+    Scale shape: the list ships as a literal array inside codegen
+    (C4's own list is ~400 words — well within expression limits);
+    corpus rows never shuffle. For 10^5+-word lists, switch to a
+    broadcast left-semi join on exploded tokens instead."""
+    lit_words = F.array(*[F.lit(w.lower()) for w in words])
+    toks = tokens(F.col(text_col))
+    hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(lit_words, F.lower(t))))
+    return df.select(
+        F.col(id_col).alias("id"),
+        hits.cast("bigint").alias("n_hits"),
+        (hits == 0).alias("keep"))
+
+
+def token_budget_select(df: DataFrame, budget: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        domain_col: str = "source") -> DataFrame:
+    """Budget-constrained corpus assembly: per domain, walk documents
+    in a deterministic order and keep each while the tokens taken so
+    far are still under `budget` (greedy prefix — the way mixture
+    recipes allocate "N tokens of domain X"; a document is atomic, so
+    the first one always fits and the last kept one may overshoot).
+
+    Order = (content-hash, id): a deterministic shuffle, so the prefix
+    is an unbiased sample. Substitute a quality rank upstream for
+    curated mixes (the column math is identical).
+
+    Output: (id, domain, n_tokens, cum_before, keep).
+
+    Scale shape: ONE shuffle into domain-partitioned windows — the
+    running sum never crosses domains, so parallelism = domain count;
+    within a domain the prefix walk is inherently sequential (that is
+    the semantics, not a plan artifact). For single-domain corpora at
+    10^12 rows, split the budget across hash buckets first (the same
+    two-phase trick as pack_sequences)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        code15(F.col(text_col)).alias("rk"))
+    w = (Window.partitionBy("domain").orderBy("rk", "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tokens").over(w),
+                     F.lit(0).cast("bigint"))
+    return (base.withColumn("cum_before", cum)
+            .select("id", "domain", "n_tokens", "cum_before",
+                    (F.col("cum_before") < budget).alias("keep")))

@@ -557,3 +557,45 @@ def test_knn_classify_ivf_path_agrees(spark):
            for r in knn_classify(corpus, queries, k=3,
                                  centroids=[[500, 500]]).collect()}
     assert brute == ivf and len(brute) == 4
+
+
+def test_word_blocklist_filter_c4_rule(spark):
+    from edspdf_spark.operators.analysis import word_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(0, "clean text here"),
+         (1, "contains BAD word"),     # case-insensitive token match
+         (2, "bad bad bad"),           # multiset count
+         (3, "embedded badword stays")],  # whole-token only
+        "doc_id long, text string")
+    rows = {r["id"]: r.asDict()
+            for r in word_blocklist_filter(df, ["bad"]).collect()}
+    assert rows[0]["keep"] and rows[0]["n_hits"] == 0
+    assert not rows[1]["keep"] and rows[1]["n_hits"] == 1
+    assert not rows[2]["keep"] and rows[2]["n_hits"] == 3
+    assert rows[3]["keep"]  # substring is NOT a hit (C4 is token-level)
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    import hashlib
+
+    from edspdf_spark.operators.analysis import token_budget_select
+
+    df = spark.createDataFrame(
+        [(0, "w " * 4, "d1"), (1, "w " * 3, "d1"), (2, "w " * 5, "d1"),
+         (3, "w " * 100, "d2")],  # oversized first doc still kept
+        "doc_id long, text string, source string")
+
+    def rk(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    order = sorted([0, 1, 2], key=lambda i: (rk("w " * (4, 3, 5)[i]), i))
+    rows = {r["id"]: r.asDict()
+            for r in token_budget_select(df, budget=7).collect()}
+    # d1 in hash order: first doc always kept, then while cum < 7
+    cum = 0
+    for i in order:
+        assert rows[i]["cum_before"] == cum
+        assert rows[i]["keep"] == (cum < 7)
+        cum += rows[i]["n_tokens"]
+    assert rows[3]["keep"] and rows[3]["cum_before"] == 0
