@@ -12,8 +12,9 @@ rendering them, so the round-trip is testable without external data).
   the version line, reads headers case-insensitively, slices payload
   by Content-Length (never by delimiter scanning, so payloads may
   contain anything, including "WARC/1.0").
-* read_warc — directory of *.warc files -> one row per record via
-  the binaryFile datasource + a mapInArrow batch parse.
+* read_warc — directory of *.warc / *.warc.gz files -> one row per
+  record via the binaryFile datasource + a mapInArrow batch parse
+  (.gz = one gzip member per record, the Common Crawl layout).
 
 Scale shape: WARC files are independently splittable at record
 granularity but binaryFile loads whole files — Common Crawl segments
@@ -61,6 +62,28 @@ def render_warc_record(url_col: Column, ts_col: Column,
                     F.lit("\r\n\r\n").cast("binary"))
 
 
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a .warc.gz payload: Common Crawl gzips each record
+    as its own member and concatenates, so decompression must loop
+    over members (one zlib stream ends where the next begins).
+    Truncated trailing members yield what decompressed so far."""
+    import zlib
+
+    out = []
+    pos = 0
+    while pos < len(blob) and blob[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(blob[pos:]))
+        except zlib.error:
+            break
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0 or not d.eof:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def parse_warc(blob: bytes) -> List[Tuple[str, str, str, bytes]]:
     """Parse concatenated WARC/1.0 records from raw bytes.
 
@@ -69,6 +92,8 @@ def parse_warc(blob: bytes) -> List[Tuple[str, str, str, bytes]]:
     (truncated final records are dropped, matching lenient production
     readers). Header names are case-insensitive per the WARC spec.
     """
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
     out: List[Tuple[str, str, str, bytes]] = []
     pos = 0
     n = len(blob)
@@ -143,10 +168,11 @@ def parse_warc_column(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 def read_warc(spark: SparkSession, path: str,
               recursive: bool = True) -> DataFrame:
-    """Directory of *.warc files -> one row per WARC record
-    (WARC_RECORD_SCHEMA), via binaryFile + the batch parse kernel."""
+    """Directory of *.warc / *.warc.gz files -> one row per WARC
+    record (WARC_RECORD_SCHEMA), via binaryFile + the batch parse
+    kernel (member-wise gunzip is transparent)."""
     reader = (spark.read.format("binaryFile")
-              .option("pathGlobFilter", "*.warc"))
+              .option("pathGlobFilter", "*.warc*"))
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     files = reader.load(path).select(F.col("content").alias("blob"))

@@ -402,3 +402,119 @@ def test_line_dedup_two_shuffles(spark):
     assert "EvalPython" not in plan
     assert plan.count("Generate") == 1, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_quality_classify_plan(spark):
+    """fastText-style scoring: ONE feature explode, spread + groupBy
+    exchanges only, zero Python."""
+    from edspdf_spark.operators.analysis import quality_classify
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quality_classify(docs))
+    assert "EvalPython" not in plan
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_substring_dedup_plan(spark):
+    """ExactSubstr: window codes travel as BIGINTs, bounded exchanges
+    (spread, rank-by-hash, removed-set groupBy, rebuild join), no
+    Python."""
+    from edspdf_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(substring_dedup(docs, w=5))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must meet the benchmark codes via broadcast."""
+    from edspdf_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 29 = 0")
+    plan = _plan(decontaminate(docs.where("doc_id % 29 <> 0"), bench))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_buckets_cutoff_path_has_no_global_window(spark):
+    """With frozen cutoffs (the 10^12-doc path) bucketing is pure
+    comparison: no Window sort anywhere; count tables broadcast."""
+    from edspdf_spark.operators.analysis import lm_perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(lm_perplexity_buckets(docs, cutoffs=(-4.5, -4.7)))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_badwords_filter_is_scan_local(spark):
+    from edspdf_spark.operators.analysis import word_blocklist_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(word_blocklist_filter(docs, ["dup"]))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan and "Generate" not in plan, plan
+
+
+def test_token_budget_window_is_domain_partitioned(spark):
+    """The running sum must run inside domain partitions — one hash
+    exchange, never a partition-less (single-task) window."""
+    from edspdf_spark.operators.analysis import token_budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(token_budget_select(docs, 1000))
+    assert "EvalPython" not in plan
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_semantic_dedup_assignment_is_arrow(spark):
+    from edspdf_spark.operators.simsearch import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, [[0] * 64, [1000] * 64]))
+    assert "EvalPython" not in plan
+    assert 1 <= plan.count("MapInArrow") <= 3, plan
+
+
+def test_knn_classify_brute_plan(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.operators.simsearch import knn_classify
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(knn_classify(emb, emb.where(F.col("vec_id") % 50 == 0)))
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan   # scoring side
+    assert "BroadcastHashJoin" in plan, plan         # label vote side
+
+
+def test_warc_render_is_native_and_parse_is_one_arrow_stage(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.sources.warc import (parse_warc_column,
+                                           render_warc_record)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blobs = docs.select(render_warc_record(
+        F.col("doc_id").cast("string"), F.lit("t"),
+        F.col("text")).alias("blob"))
+    assert "EvalPython" not in _plan(blobs)
+    assert "MapInArrow" not in _plan(blobs)
+    full = _plan(parse_warc_column(blobs, "blob"))
+    assert full.count("MapInArrow") == 1, full
+    assert "Exchange" not in full, full
+
+
+def test_dsir_weights_broadcasts_count_tables(spark):
+    from edspdf_spark.operators.analysis import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dsir_weights(docs, docs.where("lang = 'en'")))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -90,3 +90,20 @@ def test_read_warc_files(spark, tmp_path):
     rows = {r["url"]: r["n_bytes"]
             for r in read_warc(spark, str(tmp_path)).collect()}
     assert rows == {"http://x/a": 5, "http://x/b": 2, "http://x/c": 3}
+
+
+def test_parse_warc_gz_member_per_record():
+    import gzip
+
+    from edspdf_spark.sources.warc import parse_warc
+
+    # Common Crawl layout: one gzip MEMBER per record, concatenated
+    gz = (gzip.compress(_record()) +
+          gzip.compress(_record(url=b"http://x/b", payload=b"bb")))
+    recs = parse_warc(gz)
+    assert [(r[0], r[3]) for r in recs] == [("http://x/a", b"hello"),
+                                            ("http://x/b", b"bb")]
+    # truncated second member: first record still recovered
+    assert parse_warc(gz[:len(gz) - 6])[0][0] == "http://x/a"
+    # plain (non-gz) input keeps working through the same entry point
+    assert len(parse_warc(_record())) == 1
