@@ -128,3 +128,50 @@ def test_streaming_exactly_once(spark, tmp_path):
     # exactly-once: no url appears with duplicate (label) rows
     dup = (res.groupBy("url", "label").count().where("count > 1").count())
     assert dup == 0
+
+
+def test_stage_checkpoint_resume_after_crash(spark, tmp_path):
+    """run_stage_with_checkpoint: same crash->resume->idempotent
+    contract as the fused-pipeline runner, for an arbitrary
+    bucket-decomposable stage (here: the webtext cleaning funnel)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_webtext import clean_stage
+
+    from edspdf_spark.plans import (done_buckets, read_result,
+                                    run_stage_with_checkpoint)
+
+    out_dir = str(tmp_path / "stage_ckpt")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").cache()
+    docs.count()
+    stage = clean_stage(["dup"], "doc_id", "text",
+                        stopwords=["the", "a", "data", "value"])
+
+    want = {r["doc_id"]: (r["keep"], r["n_pii"])
+            for r in stage(docs).collect()}
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_stage_with_checkpoint(docs, stage, out_dir,
+                                  key_col="doc_id", n_buckets=6,
+                                  buckets_per_job=2,
+                                  fail_after_buckets=2)
+    assert len(done_buckets(out_dir, 6)) == 2
+
+    run_stage_with_checkpoint(docs, stage, out_dir, key_col="doc_id",
+                              n_buckets=6, buckets_per_job=2)
+    assert len(done_buckets(out_dir, 6)) == 6
+    got = {r["doc_id"]: (r["keep"], r["n_pii"])
+           for r in read_result(spark, out_dir).collect()}
+    assert got == want
+
+    # per-bucket metrics rows exist and add up to the corpus
+    import glob as _glob
+    import os as _os
+    mfiles = _glob.glob(_os.path.join(out_dir, "metrics", "*", "*.parquet"))
+    assert mfiles
+    total = sum(r["rows_out"] for f in mfiles
+                for r in spark.read.parquet(f).collect())
+    assert total == len(want)
+    docs.unpersist()
