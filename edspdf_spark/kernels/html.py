@@ -41,13 +41,36 @@ _WS_RE = re.compile(r"\s+")
 _ENTITIES = {
     "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
     "&apos;": "'", "&nbsp;": " ", "&#39;": "'",
+    # the frequent punctuation/symbol names real pages carry
+    "&mdash;": "—", "&ndash;": "–", "&hellip;": "…",
+    "&copy;": "©", "&reg;": "®", "&trade;": "™",
+    "&rsquo;": "’", "&lsquo;": "‘",
+    "&ldquo;": "“", "&rdquo;": "”",
+    "&laquo;": "«", "&raquo;": "»",
+    "&middot;": "·", "&times;": "×", "&shy;": "­",
 }
+
+# strict numeric character references (semicolon required — the
+# HTML5 prefix-matching leniency would rewrite innocent '&' runs)
+_NUM_ENT_RE = re.compile(r"&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
+
+
+def _num_entity(m: "re.Match") -> str:
+    v = m.group(1)
+    cp = int(v[1:], 16) if v[0] in "xX" else int(v)
+    if 0 < cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+        return chr(cp)
+    return m.group(0)  # out-of-range/surrogate: leave literal
 
 
 def _unescape(text: str) -> str:
+    if "&" not in text:
+        return text
     for ent, ch in _ENTITIES.items():
         text = text.replace(ent, ch)
-    return text
+    # numeric refs AFTER the named table, preserving the table's
+    # lenient double-unescape of '&amp;#39;' (tested behavior)
+    return _NUM_ENT_RE.sub(_num_entity, text)
 
 
 def extract_html_text(data: bytes, min_block_chars: int = 30,

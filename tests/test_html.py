@@ -77,3 +77,26 @@ def test_fused_pipeline_mixed_corpus(spark):
     assert out["html://2"].label == "body"
     assert "ads ads" not in out["html://2"].text
     assert out["junk://3"].error
+
+
+def test_unescape_numeric_and_named_refs():
+    from edspdf_spark.kernels.html import _unescape
+
+    assert _unescape("a &#x27;b&#x27; &#38; c") == "a 'b' & c"
+    assert _unescape("1 &mdash; 2&hellip;") == "1 — 2…"
+    assert _unescape("&copy;2024 &#169;") == "©2024 ©"
+    # strict: no semicolon -> literal; out-of-range -> literal
+    assert _unescape("AT&T &#x110000; &#0;") == "AT&T &#x110000; &#0;"
+    # surrogate code points stay literal
+    assert _unescape("&#xD800;") == "&#xD800;"
+    # lenient legacy behavior pinned: &amp;#39; double-unescapes
+    assert _unescape("&amp;#39;") == "'"
+
+
+def test_extract_html_text_numeric_entities_in_blocks():
+    from edspdf_spark.kernels.html import extract_html_text
+
+    html = ("<html><body><p>" + "word " * 10 +
+            "caf&#233; &#x2014; fine</p></body></html>").encode()
+    text, stats = extract_html_text(html)
+    assert "café — fine" in text
