@@ -23,20 +23,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact components for a broadcast-scale edge set: collect once,
+    union-find on the driver, return (id, component=min reachable id).
+    Identical output to the distributed propagation."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    best: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in best or node < best[r]:
+            best[r] = node
+    rows = [(node, best[find(node)]) for node in parent]
+    spark = edges.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("id", edges.schema[0].dataType),
+        StructField("component", edges.schema[0].dataType)])
+    return spark.createDataFrame(rows, schema)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """pairs(id_a, id_b) -> (id, component) where component = min id
     reachable via pair edges. Nodes appearing in no pair are absent
     (callers union singletons if needed).
 
+    Size-adaptive strategy: near-dup edge sets are usually TINY
+    relative to the corpus (pairs above threshold after LSH), and each
+    distributed propagation round costs a join + checkpoint regardless
+    of size — pure overhead on a small graph. Edge sets at or under
+    `driver_threshold` rows therefore run exact union-find on the
+    driver (one collect of the edges — by construction broadcast
+    scale; ~16 bytes/edge); larger sets use the distributed min-label
+    propagation, whose per-round cost is then actually amortized.
+    Both paths produce identical labels.
+
     Raises RuntimeError if the propagation has not converged after
     max_iter rounds (component diameter > max_iter) — unconverged
     labels must never masquerade as a correct keep-list."""
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
+    # persist the INPUT first: the src/dst symmetrization reads it in
+    # both union branches, and pair generation (an LSH pipeline) is
+    # usually far more expensive than the component labeling itself
+    pairs_p = pairs.persist()
+    edges = (pairs_p.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+             .unionByName(pairs_p.select(F.col("id_b").alias("src"),
+                                         F.col("id_a").alias("dst")))
              .distinct()
              .persist())
+    # the persist is materialized either way; the count is free signal
+    n_edges = edges.count()
+    pairs_p.unpersist()
+    if n_edges <= driver_threshold:
+        try:
+            return _driver_union_find(edges)
+        finally:
+            edges.unpersist()
     # eager localCheckpoint TRUNCATES lineage each iteration — without
     # it the per-round join DAG nests and the driver's plan (and any
     # recompute) grows exponentially with iterations

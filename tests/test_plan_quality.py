@@ -244,18 +244,42 @@ def test_bloc_embed_python_stages_are_bounded(spark):
 
 
 def test_connected_components_lineage_is_truncated(spark):
-    """After convergence the result plan must be a checkpoint scan,
-    not a nested join tree (the OOM failure mode)."""
+    """Distributed path (forced via driver_threshold=0): after
+    convergence the result plan must be a checkpoint scan, not a
+    nested join tree (the OOM failure mode)."""
     from edspdf_spark.operators.components import connected_components
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
                                   "id_a long, id_b long")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, driver_threshold=0)
     plan = _plan(comp)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert plan.count("Join") == 0, plan  # lineage truncated
     got = {(r.id, r.component) for r in comp.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_paths_agree_and_guard_convergence(spark):
+    """The driver union-find fast path and the distributed propagation
+    must label identically; the distributed path must still raise
+    loudly when max_iter is too small for the diameter."""
+    import pytest as _pytest
+
+    from edspdf_spark.operators.components import connected_components
+
+    # chain (diameter 6) + clique + singleton pair, shuffled order
+    edges = ([(i, i + 1) for i in range(7, 1, -1)]
+             + [(100, 101), (101, 102), (100, 102), (200, 201)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in connected_components(pairs).collect()}
+    dist = {(r.id, r.component)
+            for r in connected_components(
+                pairs, driver_threshold=0).collect()}
+    assert fast == dist
+    assert (2, 2) in fast and (7, 2) in fast  # chain collapses to min
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_filter_pushdown_reaches_scan(pages_parquet):
