@@ -2261,6 +2261,40 @@ FROM base
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Each purchase matched to the user's latest click at or before
+    the purchase timestamp (point-in-time correctness: no future
+    leakage — the feature-store join)."""
+    from edspdf_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id", "value")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(purchases, clicks, "user_id", "ts", "event_id",
+                     ["value"])
+
+
+# independent derivation on purpose: the oracle uses the naive
+# range-join + rank formulation; the Spark side uses the scalable
+# union-window plan — agreement checks the SEMANTICS, not the plan
+_ASOF_ORACLE = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click')
+SELECT user_id, ts, event_id, value, ts_r, event_id_r, value_r FROM (
+  SELECT l.user_id, l.ts, l.event_id, l.value,
+         r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC NULLS LAST,
+                                     r.event_id DESC NULLS LAST) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts) t
+WHERE rn = 1
+"""
+
+
 WARC_TS = "2024-01-01T00:00:00Z"
 
 
@@ -2560,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords_filter": q_badwords_filter,
         "warc_roundtrip": q_warc_roundtrip,
         "token_budget": q_token_budget,
+        "asof_join": q_asof_join,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -2968,6 +3003,7 @@ _ORACLES["knn_classify"] = _knn_oracle()
 _ORACLES["badwords_filter"] = _badwords_oracle()
 _ORACLES["warc_roundtrip"] = _WARC_ORACLE
 _ORACLES["token_budget"] = _token_budget_oracle()
+_ORACLES["asof_join"] = _ASOF_ORACLE
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
