@@ -2295,6 +2295,48 @@ WHERE rn = 1
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    from edspdf_spark.operators.analysis import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), "text", p=6)
+
+
+# p=6: m=64 registers, w = top 54 hash bits, rmax = 55, 2^55 =
+# 36028797018963968 (exactly representable as a double)
+_HLL_ORACLE = """
+WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents),
+rho AS (SELECT h % 64 AS b,
+               CASE WHEN h // 64 > 0
+                    THEN 54 - (length(bin(h // 64)) - 1)
+                    ELSE 55 END AS rho
+        FROM h),
+regs AS (SELECT b, max(rho) AS M FROM rho GROUP BY b),
+agg AS (SELECT count(*)::BIGINT AS used_registers,
+               sum(1::BIGINT << (55 - M))::BIGINT AS s_present
+        FROM regs),
+base AS (
+  SELECT CAST(64 AS INTEGER) AS m, used_registers,
+         (64 - used_registers)::BIGINT AS zero_registers,
+         (s_present + (64 - used_registers)
+            * (1::BIGINT << 55))::BIGINT AS s_scaled
+  FROM agg),
+est AS (
+  SELECT *,
+         CAST(7213 AS DOUBLE)/10000
+           / (1 + CAST(1079 AS DOUBLE)/1000/64)
+           * CAST(4096 AS DOUBLE)
+           * CAST(36028797018963968 AS DOUBLE)
+           / CAST(s_scaled AS DOUBLE) AS estimate
+  FROM base),
+ex AS (SELECT count(DISTINCT text)::BIGINT AS exact_count
+       FROM documents)
+SELECT m, used_registers, zero_registers, s_scaled, estimate,
+       exact_count, estimate / exact_count AS rel_err
+FROM est CROSS JOIN ex
+"""
+
+
 WARC_TS = "2024-01-01T00:00:00Z"
 
 
@@ -2595,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "token_budget": q_token_budget,
         "asof_join": q_asof_join,
+        "hll_distinct": q_hll_distinct,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -3004,6 +3047,7 @@ _ORACLES["badwords_filter"] = _badwords_oracle()
 _ORACLES["warc_roundtrip"] = _WARC_ORACLE
 _ORACLES["token_budget"] = _token_budget_oracle()
 _ORACLES["asof_join"] = _ASOF_ORACLE
+_ORACLES["hll_distinct"] = _HLL_ORACLE
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -113,7 +113,8 @@ def main() -> None:
                 "pii_scrub", "substring_dedup", "decontaminate",
                 "quality_classify", "lm_ppl_buckets", "semantic_dedup",
                 "dsir_select", "knn_classify", "badwords_filter",
-                "warc_roundtrip", "token_budget", "asof_join"]
+                "warc_roundtrip", "token_budget", "asof_join",
+                "hll_distinct"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -871,3 +871,65 @@ def token_budget_select(df: DataFrame, budget: int,
     return (base.withColumn("cum_before", cum)
             .select("id", "domain", "n_tokens", "cum_before",
                     (F.col("cum_before") < budget).alias("keep")))
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 6,
+                 exact: bool = True) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (Flajolet et
+    al. 2007), built on the engine-portable md5-prefix hash so the
+    registers — and therefore the estimate — are bit-identical across
+    engines and partitionings (unlike approx_count_distinct, whose
+    hash/merge is engine-private).
+
+    m = 2^p registers; for each value, bucket = h mod m and
+    rho = position of the leftmost 1-bit in the remaining 60-p hash
+    bits (integer log2 via bin()); register = max rho. The estimate
+    uses the raw HLL formula with the 1/2^rho sum carried as a SCALED
+    INTEGER (sum of 2^(Rmax - M_b)), so the only float ops are two
+    multiplications and one division in fixed order — no
+    transcendentals, no float accumulation ordering.
+
+    Returns ONE row: (m, used_registers, zero_registers, s_scaled,
+    estimate[, exact_count, rel_err]). Raw HLL bias below ~2.5m
+    applies (linear-counting correction is a driver-side policy
+    choice; zero_registers is reported so callers can apply it).
+
+    Scale shape: this IS the mergeable-sketch pattern — the register
+    max is a map-side partial aggregate, so 10^12 rows reduce to m
+    rows before the single tiny shuffle; per-partition sketches merge
+    by register-wise max, which is exactly what the groupBy computes.
+    """
+    m = 1 << p
+    rmax = 60 - p + 1
+    h = code15(F.col(col))
+    bucket = h % m
+    # top 60-p hash bits: literal shift, NOT `/` (double division
+    # would round above 2^53)
+    w = F.shiftright(h, p)
+    ilog2 = F.length(F.bin(w)) - 1
+    rho = F.when(w > 0, F.lit(60 - p) - ilog2).otherwise(F.lit(rmax))
+    regs = (df.select(bucket.alias("b"), rho.alias("rho"))
+            .groupBy("b").agg(F.max("rho").alias("M")))
+    alpha = (F.lit(7213).cast("double") / 10000
+             / (F.lit(1.0) + F.lit(1079).cast("double") / 1000 / m))
+    two_rmax = float(1 << rmax)
+    agg = regs.agg(
+        F.count("*").alias("used_registers"),
+        F.sum(F.expr(f"cast(1 as bigint) << ({rmax} - M)"))
+        .alias("s_present"))
+    out = agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("used_registers").cast("bigint"),
+        (F.lit(m) - F.col("used_registers")).cast("bigint")
+        .alias("zero_registers"),
+        (F.col("s_present")
+         + (F.lit(m) - F.col("used_registers"))
+         * F.lit(1 << rmax).cast("bigint")).alias("s_scaled"))
+    est = (alpha * F.lit(float(m * m)) * F.lit(two_rmax)
+           / F.col("s_scaled").cast("double"))
+    out = out.withColumn("estimate", est)
+    if exact:
+        ex = df.agg(F.countDistinct(F.col(col)).alias("exact_count"))
+        out = out.crossJoin(F.broadcast(ex)).withColumn(
+            "rel_err", F.col("estimate") / F.col("exact_count"))
+    return out

@@ -599,3 +599,44 @@ def test_token_budget_select_greedy_prefix(spark):
         assert rows[i]["keep"] == (cum < 7)
         cum += rows[i]["n_tokens"]
     assert rows[3]["keep"] and rows[3]["cum_before"] == 0
+
+
+def test_hll_distinct_matches_python_reference(spark):
+    import hashlib
+
+    from edspdf_spark.operators.analysis import hll_distinct
+
+    vals = [f"value-{i}" for i in range(300)] + ["value-0", "value-1"]
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    p, m, rmax = 6, 64, 55
+
+    regs = {}
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b, w = h % m, h >> p
+        rho = (60 - p) - (w.bit_length() - 1) if w > 0 else rmax
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (rmax - M) for M in regs.values()) \
+        + (m - len(regs)) * (1 << rmax)
+    alpha = 7213 / 10000 / (1 + 1079 / 1000 / m)
+    want = alpha * float(m * m) * float(1 << rmax) / float(s)
+
+    r = hll_distinct(df, "text").collect()[0]
+    assert r["m"] == m
+    assert r["used_registers"] == len(regs)
+    assert r["s_scaled"] == s
+    assert r["estimate"] == want          # bit-exact, not approx
+    assert r["exact_count"] == 300
+    assert 0.6 < r["rel_err"] < 1.6       # sketch sanity at m=64
+
+
+def test_hll_distinct_partition_invariant(spark):
+    from edspdf_spark.operators.analysis import hll_distinct
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(200)],
+                               "text string")
+    a = hll_distinct(df.repartition(1), "text").collect()[0]
+    b = hll_distinct(df.repartition(17), "text").collect()[0]
+    # register maxes merge associatively -> same sketch any split
+    assert a["s_scaled"] == b["s_scaled"]
+    assert a["estimate"] == b["estimate"]
