@@ -58,15 +58,22 @@ def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
     """
     spans: List[StyleSpan] = []
     current: Optional[StyleSpan] = None
-    text = ""
+    # list buffer + integer length instead of per-char string concat
+    # (same values: n == len(text), new_n == len(new_text))
+    buf: List[str] = []
+    n = 0
+    ends_space = False
     last: Optional[Tuple[Optional[str], Optional[bool], Optional[bool]]] = None
 
     for raw, fontname_in, upright in chars:
         ch = _ws_norm(raw)
-        if not (ch == " " and (text.endswith(" ") or text == "")):
-            new_text = text + ch
+        if not (ch == " " and (ends_space or n == 0)):
+            buf.append(ch)
+            new_n = n + len(ch)
+            new_ends_space = ch.endswith(" ")
         else:
-            new_text = text
+            new_n = n
+            new_ends_space = ends_space
 
         if ch == " ":
             if last is not None:
@@ -86,16 +93,17 @@ def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
                 "fontname": fontname,
                 "italic": italic,
                 "bold": bold,
-                "begin": len(text),
-                "end": len(new_text),
+                "begin": n,
+                "end": new_n,
             }
         elif ch != " ":
             assert current is not None
-            current["end"] = len(new_text)
-        text = new_text
+            current["end"] = new_n
+        n = new_n
+        ends_space = new_ends_space
         last = key
 
     if current is not None:
         spans.append(current)
 
-    return text.rstrip(), spans
+    return "".join(buf).rstrip(), spans
