@@ -44,7 +44,7 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "decontaminate", "quality_classify", "lm_ppl_buckets",
            "semantic_dedup", "dsir_select", "knn_classify",
            "badwords_filter", "warc_roundtrip", "token_budget",
-           "asof_join", "hll_distinct"]
+           "asof_join", "hll_distinct", "cm_sketch"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)

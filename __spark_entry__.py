@@ -2337,6 +2337,47 @@ FROM est CROSS JOIN ex
 """
 
 
+def q_cm_sketch(spark, sf_dir):
+    from edspdf_spark.operators.analysis import cm_token_counts
+
+    return cm_token_counts(_docs(spark, sf_dir), top_k=20, width=1024)
+
+
+def _cm_oracle() -> str:
+    from edspdf_spark.operators.analysis import CM_ROWS
+
+    structs = ", ".join(
+        f"{{'j': {j}, 'bucket': ({a}*code + {b}) % 1000003 % 1024}}"
+        for j, (a, b) in enumerate(CM_ROWS))
+    return f"""
+WITH vals AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS tok
+  FROM documents),
+coded AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003
+            AS code FROM vals),
+cells AS (
+  SELECT u.j AS j, u.bucket AS bucket, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest([{structs}]) AS u FROM coded)
+  GROUP BY 1, 2),
+truth AS (SELECT tok, count(*)::BIGINT AS true_count FROM vals
+          GROUP BY tok),
+probes AS (SELECT tok, true_count FROM (
+    SELECT *, row_number() OVER (ORDER BY true_count DESC, tok ASC)
+      AS rk FROM truth) WHERE rk <= 20),
+pc AS (
+  SELECT tok, true_count, u.j AS j, u.bucket AS bucket FROM (
+    SELECT tok, true_count,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003 AS code
+    FROM probes) p, LATERAL (SELECT unnest([{structs}]) AS u) z)
+SELECT pc.tok AS token, pc.true_count,
+       min(cells.cnt)::BIGINT AS cm_estimate,
+       (min(cells.cnt) - pc.true_count)::BIGINT AS overestimate
+FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
+GROUP BY 1, 2
+"""
+
+
 WARC_TS = "2024-01-01T00:00:00Z"
 
 
@@ -2638,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "asof_join": q_asof_join,
         "hll_distinct": q_hll_distinct,
+        "cm_sketch": q_cm_sketch,
         "multimodal_meta": q_multimodal_meta,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
@@ -3048,6 +3090,7 @@ _ORACLES["warc_roundtrip"] = _WARC_ORACLE
 _ORACLES["token_budget"] = _token_budget_oracle()
 _ORACLES["asof_join"] = _ASOF_ORACLE
 _ORACLES["hll_distinct"] = _HLL_ORACLE
+_ORACLES["cm_sketch"] = _cm_oracle()
 
 _ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

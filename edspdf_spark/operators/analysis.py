@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions import code15, tokens
+from ..functions import CODE_MOD, code15, tokens
 
 # tiny per-language stopword lists for the n-gram-free heuristic;
 # deterministic argmax order = list order here
@@ -933,3 +933,70 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6,
         out = out.crossJoin(F.broadcast(ex)).withColumn(
             "rel_err", F.col("estimate") / F.col("exact_count"))
     return out
+
+
+# Count-Min hash-row parameters (pairwise-independent affine family,
+# fixed so both engines and every run agree)
+CM_ROWS = [(31, 7), (37, 143), (41, 557), (43, 991)]
+
+
+def cm_token_counts(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", top_k: int = 20,
+                    width: int = 1024) -> DataFrame:
+    """Count-Min sketch token frequencies (Cormode & Muthukrishnan
+    2005) with a built-in accuracy probe: build a d x width sketch
+    over all token occurrences, then report the sketch estimate next
+    to the TRUE count for the top_k most frequent tokens.
+
+    est(x) = min over rows j of counter[j][h_j(x)] — never an
+    underestimate; overestimate bounded by collisions (eps ~ e/width
+    of the stream length, whp). All integer arithmetic on the
+    md5-prefix code, so the sketch is bit-identical across engines
+    and partitionings.
+
+    Output: (token, true_count, cm_estimate, overestimate), top_k
+    rows ordered facts (ties: token asc).
+
+    Scale shape: the sketch IS the mergeable aggregate — counters are
+    sums, so 10^12 token occurrences partial-aggregate map-side into
+    at most d*width rows before one tiny shuffle (same pattern as
+    hll_distinct, additive instead of max). The probe side touches
+    only top_k * d sketch cells via a broadcast join."""
+    d = len(CM_ROWS)
+    vals = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    code = code15(F.col("tok")) % CODE_MOD
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 ((F.lit(a) * code + F.lit(b)) % CODE_MOD % width)
+                 .alias("bucket"))
+        for j, (a, b) in enumerate(CM_ROWS)])
+    cells = (vals.select(F.explode(rows).alias("c"))
+             .select("c.j", "c.bucket")
+             .groupBy("j", "bucket")
+             .agg(F.count("*").alias("cnt")))
+
+    truth = (vals.groupBy("tok").agg(F.count("*").alias("true_count")))
+    from pyspark.sql import Window
+    wnd = Window.orderBy(F.desc("true_count"), F.asc("tok"))
+    probes = (truth.withColumn("rk", F.row_number().over(wnd))
+              .where(F.col("rk") <= top_k).drop("rk"))
+
+    pcode = code15(F.col("tok")) % CODE_MOD
+    prows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 ((F.lit(a) * pcode + F.lit(b)) % CODE_MOD % width)
+                 .alias("bucket"))
+        for j, (a, b) in enumerate(CM_ROWS)])
+    probe_cells = (probes.select("tok", "true_count",
+                                 F.explode(prows).alias("c"))
+                   .select("tok", "true_count", "c.j", "c.bucket"))
+    est = (cells.join(F.broadcast(probe_cells), ["j", "bucket"])
+           .groupBy("tok")
+           .agg(F.first("true_count").alias("true_count"),
+                F.min("cnt").alias("cm_estimate")))
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("true_count").cast("bigint"),
+        F.col("cm_estimate").cast("bigint"),
+        (F.col("cm_estimate") - F.col("true_count")).cast("bigint")
+        .alias("overestimate"))

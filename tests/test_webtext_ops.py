@@ -640,3 +640,39 @@ def test_hll_distinct_partition_invariant(spark):
     # register maxes merge associatively -> same sketch any split
     assert a["s_scaled"] == b["s_scaled"]
     assert a["estimate"] == b["estimate"]
+
+
+def test_cm_sketch_matches_python_reference_and_never_underestimates(spark):
+    import hashlib
+    from collections import Counter
+
+    from edspdf_spark.functions import CODE_MOD
+    from edspdf_spark.operators.analysis import CM_ROWS, cm_token_counts
+
+    text = " ".join(f"t{i % 7}" for i in range(100))  # 7 tokens, skewed
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    width = 4  # force collisions
+
+    counts = Counter(text.split(" "))
+
+    def bucket(tok, a, b):
+        code = int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                   16) % CODE_MOD
+        return (a * code + b) % CODE_MOD % width
+
+    cells = Counter()
+    for tok, n in counts.items():
+        for j, (a, b) in enumerate(CM_ROWS):
+            cells[(j, bucket(tok, a, b))] += n
+
+    def est(tok):
+        return min(cells[(j, bucket(tok, a, b))]
+                   for j, (a, b) in enumerate(CM_ROWS))
+
+    rows = {r["token"]: r.asDict()
+            for r in cm_token_counts(df, top_k=7, width=width).collect()}
+    assert set(rows) == set(counts)
+    for tok, r in rows.items():
+        assert r["true_count"] == counts[tok]
+        assert r["cm_estimate"] == est(tok)       # bit-exact
+        assert r["overestimate"] >= 0             # CM never undercounts
