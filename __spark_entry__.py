@@ -2628,6 +2628,106 @@ def q_tpch_q1(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+# --- link graph + PageRank ---------------------------------------------
+# A deterministic linked corpus built closed-form from doc_id: page of
+# host h(doc_id % 23) links to hosts h((3i+1)%23), h((7i+3)%23) and —
+# every 4th doc — h((11i+5)%23), plus one relative link that must be
+# filtered. The Spark side renders the HTML and regex-EXTRACTS the
+# links; the pagerank oracle derives the edge set closed-form instead
+# (independent path), so both the extraction and the iteration are
+# cross-checked.
+
+_PR_SCALE = 10 ** 12
+_PR_DAMP = 85
+_PR_ITERS = 4
+
+
+def _linked_pages(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("https://h"), (e % 23).cast("string"), F.lit(".example.com"))
+    html = F.concat(
+        F.lit('<nav><a href="/rel">home</a></nav><p>see <a class="x" href="'),
+        host(3 * i + 1), F.lit('/p">one</a> and <A HREF="'),
+        host(7 * i + 3), F.lit('/q">two</A>'),
+        F.when(i % 4 == 0,
+               F.concat(F.lit('<a href="'), host(11 * i + 5),
+                        F.lit('/r">three</a>')))
+         .otherwise(F.lit("")),
+        F.lit("</p>"))
+    url = F.concat(host(i), F.lit("/doc/"), i.cast("string"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark, sf_dir):
+    from edspdf_spark.operators.graph import extract_links, host_edges
+
+    return host_edges(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def q_host_pagerank(spark, sf_dir):
+    from edspdf_spark.operators.graph import (extract_links, host_edges,
+                                              host_pagerank)
+
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    return host_pagerank(edges, iterations=_PR_ITERS,
+                         damping_pct=_PR_DAMP, scale=_PR_SCALE)
+
+
+_LINKED_PAGES_SQL = """
+  (SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          '<nav><a href="/rel">home</a></nav><p>see <a class="x" href="https://h'
+            || CAST((3*doc_id+1) % 23 AS VARCHAR)
+            || '.example.com/p">one</a> and <A HREF="https://h'
+            || CAST((7*doc_id+3) % 23 AS VARCHAR)
+            || '.example.com/q">two</A>'
+            || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://h'
+                 || CAST((11*doc_id+5) % 23 AS VARCHAR)
+                 || '.example.com/r">three</a>' ELSE '' END
+            || '</p>' AS html
+   FROM documents)
+"""
+
+
+def _pagerank_oracle(iterations: int = _PR_ITERS) -> str:
+    """Unrolled exact-integer PageRank; edges derived CLOSED-FORM
+    (not via regex) so the oracle is an independent derivation."""
+    parts = [f"""raw AS (
+  SELECT doc_id % 23 AS s, (3*doc_id+1) % 23 AS t FROM documents
+  UNION ALL SELECT doc_id % 23, (7*doc_id+3) % 23 FROM documents
+  UNION ALL SELECT doc_id % 23, (11*doc_id+5) % 23 FROM documents
+    WHERE doc_id % 4 = 0),
+e AS (SELECT DISTINCT 'h' || CAST(s AS VARCHAR) || '.example.com' AS src_host,
+                      'h' || CAST(t AS VARCHAR) || '.example.com' AS dst_host
+      FROM raw WHERE s <> t),
+nodes AS (SELECT src_host AS host FROM e
+          UNION SELECT dst_host AS host FROM e),
+n AS (SELECT {_PR_SCALE} // CAST(count(*) AS BIGINT) AS r0,
+             (100 - {_PR_DAMP}) * ({_PR_SCALE} // CAST(count(*) AS BIGINT))
+               // 100 AS tele
+      FROM nodes),
+outdeg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src_host),
+r0 AS (SELECT host, (SELECT r0 FROM n) AS rank_scaled FROM nodes)"""]
+    for it in range(1, iterations + 1):
+        parts.append(f"""c{it} AS (
+  SELECT e.dst_host AS host,
+         CAST(sum(r.rank_scaled // o.outdeg) AS BIGINT) AS contrib
+  FROM e JOIN r{it - 1} r ON e.src_host = r.host
+         JOIN outdeg o ON e.src_host = o.src_host
+  GROUP BY e.dst_host)""")
+        parts.append(f"""r{it} AS (
+  SELECT nodes.host,
+         (SELECT tele FROM n)
+           + ({_PR_DAMP} * COALESCE(c.contrib, 0)) // 100 AS rank_scaled
+  FROM nodes LEFT JOIN c{it} c ON nodes.host = c.host)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT host, rank_scaled, CAST(rank_scaled AS DOUBLE) / "
+            f"{_PR_SCALE} AS rank FROM r{iterations}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_body_text": q_pipeline_body_text,
@@ -2687,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloc_hf_embed": q_bloc_hf_embed,
         "bloc_transformer": q_bloc_transformer,
         "trainable_classify": q_trainable_classify,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3132,6 +3234,27 @@ _ORACLES["bloc_embed"] = _bloc_embed_oracle()
 _ORACLES["bloc_cnn_pool"] = _bloc_cnn_oracle()
 _ORACLES["bloc_hf_embed"] = _hf_embed_oracle()
 
+# host_edges over regex-extracted links; the (?i)<a\s[^>]*href="..."
+# pattern is the deliberately regex-dialect-portable subset shared
+# with operators/graph.py (Java regex on Spark, RE2 here).
+_ORACLES["link_graph"] = f"""
+WITH pages AS (SELECT * FROM {_LINKED_PAGES_SQL} p),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html,
+                '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS href
+  FROM pages),
+hosts AS (
+  SELECT lower(split_part(split_part(src_url, '//', 2), '/', 1)) AS src_host,
+         lower(split_part(split_part(href, '//', 2), '/', 1)) AS dst_host
+  FROM links
+  WHERE lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%')
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM hosts
+WHERE dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     """One query is absent here by nature: bloc_transformer
@@ -3141,6 +3264,7 @@ def oracle_sql() -> dict[str, str]:
     (closed-form from the deterministic payload recipe), carries an
     exact oracle."""
     out = dict(_ORACLES)
+    out["host_pagerank"] = _pagerank_oracle()
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

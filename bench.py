@@ -114,7 +114,8 @@ def main() -> None:
                 "quality_classify", "lm_ppl_buckets", "semantic_dedup",
                 "dsir_select", "knn_classify", "badwords_filter",
                 "warc_roundtrip", "token_budget", "asof_join",
-                "hll_distinct", "cm_sketch"]
+                "hll_distinct", "cm_sketch", "link_graph",
+                "host_pagerank"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

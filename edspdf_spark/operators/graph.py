@@ -1,0 +1,140 @@
+"""Web link graph: href extraction, host-level edge rollup, and an
+exact-integer PageRank — the standard quality prior for web corpora
+(Common Crawl ranks hosts this way; CCNet/RefinedWeb-style pipelines
+consume such a score as a selection signal).
+
+Scale design (10^12 pages):
+* `extract_links` is a pure-codegen regexp projection on the page
+  scan — no Python, no shuffle; at 100 TB the cost is the scan it
+  shares with every other per-page signal.
+* `host_edges` collapses the page-level multigraph to a host-level
+  weighted graph in ONE shuffle (groupBy src_host,dst_host with
+  map-side partial aggregation). 10^12 pages -> ~10^7..10^8 hosts, a
+  4-6 order-of-magnitude reduction, which is what makes the iteration
+  cheap: every subsequent step runs on the host graph, never the
+  corpus.
+* `host_pagerank` keeps ALL arithmetic in scaled BIGINTs (rank is
+  rank_scaled / 10^12): integer sums are associative, so the result
+  is bit-identical regardless of partitioning, executor count, or
+  aggregation order — the property every oracled operator in this
+  repo maintains. Per iteration: one broadcast (or co-partitioned)
+  join of edges with the rank table and one map-side-combined sum on
+  dst — a single Exchange. Ranks are localCheckpoint-ed each
+  iteration to truncate lineage (the connected-components pattern,
+  operators/components.py).
+
+Dangling hosts (no out-links) follow the "no redistribution" PageRank
+variant: their mass leaks each step. That keeps the iteration one
+aggregation (the redistribution variant needs a global scalar per
+step) and only shifts ranks by a corpus-constant factor — fine for a
+selection *prior*. Documented, deterministic, and mirrored exactly by
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+# double-quoted href in an <a> tag, case-insensitive. Deliberately the
+# common-denominator subset (no single quotes / unquoted values): the
+# same pattern string must mean the same thing to Java regex (Spark)
+# and RE2 (DuckDB oracle), which rules out lookarounds and backrefs.
+HREF_PATTERN = '(?i)<a\\s[^>]*href="([^"]*)"'
+
+PAGERANK_SCALE = 10 ** 12
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, html, ...) -> (src_url, href): one row per <a href="...">
+    occurrence. Codegen-only (regexp_extract_all + explode); binary
+    html is decoded as UTF-8 by the cast, matching the HTML kernel."""
+    html = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit(HREF_PATTERN), 1)
+        ).alias("href"),
+    )
+
+
+def _host(col) -> "F.Column":
+    """hostname of an absolute URL: text between '//' and the next
+    '/', lowercased. split_part is 1-based and returns '' when the
+    part is missing — identical in Spark and DuckDB."""
+    return F.lower(F.split_part(F.split_part(col, F.lit("//"), F.lit(2)),
+                                F.lit("/"), F.lit(1)))
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src_url, href) -> (src_host, dst_host, n_links): absolute
+    http(s) targets only (relative links carry no cross-host signal),
+    self-loops dropped, multiplicity kept as the edge weight. One
+    shuffle, partially aggregated map-side."""
+    absolute = F.lower(F.col("href")).startswith("http://") | \
+        F.lower(F.col("href")).startswith("https://")
+    e = (links.where(absolute)
+         .select(_host(F.col("src_url")).alias("src_host"),
+                 _host(F.col("href")).alias("dst_host"))
+         .where((F.col("dst_host") != "") &
+                (F.col("src_host") != F.col("dst_host"))))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"))
+
+
+def host_pagerank(edges: DataFrame, iterations: int = 4,
+                  damping_pct: int = 85, scale: int = PAGERANK_SCALE,
+                  broadcast_ranks: bool = True,
+                  checkpoint: bool = True) -> DataFrame:
+    """(src_host, dst_host[, n_links]) -> (host, rank_scaled, rank).
+
+    Exact-integer PageRank over the DISTINCT edge set:
+
+        r0        = scale div n_hosts
+        contrib_h = sum over in-edges (s -> h) of  r[s] div outdeg[s]
+        r'        = (100 - d) * r0 div 100  +  d * contrib div 100
+
+    Every operation is BIGINT, so distributed sums are bit-exact and
+    partition-invariant; `rank` is the single final float division.
+
+    broadcast_ranks=True broadcasts the rank table into the edge join
+    — right whenever hosts fit an executor broadcast (~10^7 hosts).
+    At the extreme (10^9 hosts) set False: the join falls back to
+    sort-merge and AQE co-partitions ranks with the (persisted,
+    already-hash-partitioned) edge table instead.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    nodes = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct().persist())
+    n_hosts = nodes.count()
+    outdeg = e.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src_host").persist()
+
+    r0 = scale // n_hosts
+    teleport = (100 - damping_pct) * r0 // 100
+    ranks = nodes.select("host", F.lit(r0).cast("bigint")
+                         .alias("rank_scaled"))
+    for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (e_deg
+                   .join(r, e_deg.src_host == r.host)
+                   .select(F.col("dst_host").alias("host"),
+                           F.expr("rank_scaled div outdeg").alias("c"))
+                   .groupBy("host")
+                   .agg(F.sum("c").alias("contrib")))
+        ranks = (nodes.join(contrib, "host", "left")
+                 .select("host",
+                         F.expr(f"{teleport}L + ({damping_pct}L * "
+                                f"coalesce(contrib, 0L)) div 100")
+                         .alias("rank_scaled")))
+        if checkpoint:  # truncate lineage between iterations
+            ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(
+        "host", "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(float(scale)))
+        .alias("rank"))
+    return out

@@ -1,0 +1,128 @@
+"""Link-graph extraction + exact-integer host PageRank
+(operators/graph.py): regex subset semantics, edge rollup rules, a
+hand-computed python reference for the integer iteration, partition
+invariance, and plan pins (codegen extraction, broadcast rank join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.operators.graph import (PAGERANK_SCALE, extract_links,
+                                          host_edges, host_pagerank)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        ("https://a.example.com/1",
+         '<p><a href="https://b.example.com/x">b</a>'
+         '<A CLASS="z" HREF="https://c.example.com/y">c</A>'
+         '<a href="/relative">rel</a>'
+         '<a href="mailto:x@y.z">mail</a>'
+         '<a href="HTTP://B.EXAMPLE.COM/upper">B again</a></p>'),
+        ("https://b.example.com/1",
+         '<a href="https://a.example.com/z">a</a>'
+         '<a href="https://b.example.com/self">self</a>'),
+        ("https://d.example.com/1", "<p>no links at all</p>"),
+    ]
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_links_subset_semantics(pages):
+    links = {(r.src_url, r.href) for r in extract_links(pages).collect()}
+    assert ("https://a.example.com/1", "https://b.example.com/x") in links
+    # case-insensitive tag and attribute
+    assert ("https://a.example.com/1", "https://c.example.com/y") in links
+    assert ("https://a.example.com/1", "HTTP://B.EXAMPLE.COM/upper") in links
+    # relative + mailto extracted here (filtering is host_edges' job)
+    assert ("https://a.example.com/1", "/relative") in links
+    assert len([1 for u, _ in links if u == "https://d.example.com/1"]) == 0
+
+
+def test_host_edges_rules(pages):
+    e = {(r.src_host, r.dst_host): r.n_links
+         for r in host_edges(extract_links(pages)).collect()}
+    # scheme case-folded, host lowercased, multiplicity kept
+    assert e[("a.example.com", "b.example.com")] == 2
+    assert e[("a.example.com", "c.example.com")] == 1
+    assert e[("b.example.com", "a.example.com")] == 1
+    # self-loop and non-http dropped
+    assert ("b.example.com", "b.example.com") not in e
+    assert all(not d.startswith("mailto") for _, d in e)
+
+
+def _py_pagerank(edges, iterations=4, damping_pct=85,
+                 scale=PAGERANK_SCALE):
+    """Independent driver-side reference of the exact-integer rule."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r0 = scale // len(nodes)
+    tele = (100 - damping_pct) * r0 // 100
+    r = {h: r0 for h in nodes}
+    for _ in range(iterations):
+        contrib = {h: 0 for h in nodes}
+        for s, t in e:
+            contrib[t] += r[s] // outdeg[s]
+        r = {h: tele + damping_pct * contrib[h] // 100 for h in nodes}
+    return r
+
+
+GRAPH = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+# d is a source-only host (rank stays teleport-ish); no host dangles
+# except b? b->c exists; all but d have in-links.
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    got = {r.host: r.rank_scaled
+           for r in host_pagerank(edges, iterations=4).collect()}
+    assert got == _py_pagerank(GRAPH, iterations=4)
+
+
+def test_pagerank_partition_invariant(spark):
+    one = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    many = one.repartition(7)
+    a = sorted((r.host, r.rank_scaled)
+               for r in host_pagerank(one, iterations=3).collect())
+    b = sorted((r.host, r.rank_scaled)
+               for r in host_pagerank(many, iterations=3).collect())
+    assert a == b
+
+
+def test_pagerank_rank_ordering_sensible(spark):
+    """c has 3 in-links, a has 1 from the best-ranked host; both must
+    beat the never-linked d."""
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    got = {r.host: r.rank_scaled for r in host_pagerank(edges).collect()}
+    assert got["c"] > got["a"] > got["d"]
+    assert got["c"] > got["b"]
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    with pytest.raises(ValueError):
+        host_pagerank(edges, damping_pct=0)
+
+
+def test_extraction_plan_is_codegen_only(pages):
+    """No Python eval and no shuffle in the per-page link projection;
+    the single Exchange belongs to the host rollup groupBy."""
+    links_plan = _plan(extract_links(pages))
+    assert "EvalPython" not in links_plan
+    assert "Exchange" not in links_plan
+    rollup_plan = _plan(host_edges(extract_links(pages)))
+    assert "EvalPython" not in rollup_plan
+    assert rollup_plan.count("Exchange") == 1, rollup_plan
+
+
+def test_pagerank_iteration_broadcasts_ranks(spark):
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
