@@ -2728,6 +2728,26 @@ r0 AS (SELECT host, (SELECT r0 FROM n) AS rank_scaled FROM nodes)"""]
             f"{_PR_SCALE} AS rank FROM r{iterations}")
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom sketch of the corpus texts probed with a present set
+    (every 7th doc) and a definitely-absent set (every 11th doc,
+    content perturbed); output marks claimed vs actual membership."""
+    from edspdf_spark.operators.analysis import bloom_build, bloom_member
+
+    d = _docs(spark, sf_dir)
+    bloom = bloom_build(d, col="text")
+    present = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe"),
+        F.lit(True).alias("actual"))
+    absent = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("probe_id"),
+        F.concat(F.col("text"), F.lit("-absent-")).alias("probe"),
+        F.lit(False).alias("actual"))
+    probes = present.unionByName(absent)
+    return (bloom_member(bloom, probes)
+            .join(probes.select("probe_id", "actual"), "probe_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_body_text": q_pipeline_body_text,
@@ -2789,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trainable_classify": q_trainable_classify,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
+        "bloom_filter": q_bloom_filter,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3253,6 +3274,42 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM hosts
 WHERE dst_host <> '' AND src_host <> dst_host
 GROUP BY src_host, dst_host
+"""
+
+# Bloom sketch: same md5-prefix positions, 32-bit words (DuckDB's
+# checked arithmetic rejects 1<<63; bit 31 keeps words positive so
+# they compare as plain BIGINTs across engines).
+_ORACLES["bloom_filter"] = """
+WITH js AS (SELECT unnest(generate_series(0, 4)) AS j),
+positions AS (
+  SELECT ((('0x' || substr(md5(text || '#bloom-v1#'
+            || CAST(j AS VARCHAR)), 1, 15))::BIGINT) % 262144) AS pos
+  FROM documents CROSS JOIN js),
+bloom AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM positions GROUP BY pos // 32),
+probes AS (
+  SELECT doc_id AS probe_id, text AS probe, TRUE AS actual
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || '-absent-', FALSE
+  FROM documents WHERE doc_id % 11 = 0),
+ppos AS (
+  SELECT probe_id, actual,
+         ((('0x' || substr(md5(probe || '#bloom-v1#'
+            || CAST(j AS VARCHAR)), 1, 15))::BIGINT) % 262144) AS pos
+  FROM probes CROSS JOIN js),
+hits AS (
+  SELECT p.probe_id, p.actual,
+         CASE WHEN b.bits IS NOT NULL AND
+                   (b.bits & (1::BIGINT << CAST(p.pos % 32 AS INTEGER)))
+                   <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word_idx)
+SELECT probe_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+       sum(hit) = 5 AS claimed, actual
+FROM hits GROUP BY probe_id, actual
 """
 
 

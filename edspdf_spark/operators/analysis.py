@@ -1000,3 +1000,70 @@ def cm_token_counts(df: DataFrame, id_col: str = "doc_id",
         F.col("cm_estimate").cast("bigint"),
         (F.col("cm_estimate") - F.col("true_count")).cast("bigint")
         .alias("overestimate"))
+
+
+# --- Bloom filter membership sketch ----------------------------------------
+
+BLOOM_BITS = 1 << 18   # 262,144 bits -> 8,192 32-bit words
+BLOOM_K = 5
+BLOOM_SALT = "bloom-v1"
+
+
+def _bloom_positions(value_col, n_bits: int, k: int, salt: str):
+    """array of k bit positions for a value: independent md5-prefix
+    hashes (value || '#salt#j'), each mod n_bits."""
+    return F.array(*[
+        code15(F.concat(value_col, F.lit(f"#{salt}#{j}"))) % n_bits
+        for j in range(k)])
+
+
+def bloom_build(df: DataFrame, col: str = "text",
+                n_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+                salt: str = BLOOM_SALT) -> DataFrame:
+    """Distributed Bloom filter (Bloom 1970) over a column:
+    (word_idx, bits) rows, 32 bits per word.
+
+    32-bit words, not 64: DuckDB's checked arithmetic rejects
+    `1::BIGINT << 63`, and bit 31 keeps every word value positive in
+    both engines, so word contents compare as plain BIGINTs.
+
+    Mergeable-sketch scale shape (the HLL/Count-Min pattern): bit_or
+    is a map-side partial aggregate, so 10^12 rows reduce to at most
+    n_bits/32 rows per partition before one tiny shuffle; sketches of
+    corpus shards union by the same groupBy+bit_or. Sizing: false
+    positive rate ~ (1 - e^{-kn/m})^k — for n distinct values pick
+    m = n_bits ~ 10-15 bits/value (k=5 -> ~1% at 10, ~0.1% at 15);
+    at 10^9 values the sketch is ~1.9 GB, still a broadcast-or-join
+    table, and the build cost is one scan + one shuffle of m/32 rows.
+    """
+    pos = F.explode(
+        _bloom_positions(F.col(col), n_bits, k, salt)).alias("pos")
+    return (df.select(pos)
+            .select(F.expr("pos div 32").alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(pos % 32 as int))")
+                    .alias("bit"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bit").alias("bits")))
+
+
+def bloom_member(bloom: DataFrame, probes: DataFrame,
+                 id_col: str = "probe_id", col: str = "probe",
+                 n_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+                 salt: str = BLOOM_SALT) -> DataFrame:
+    """(probe_id, probe) -> (probe_id, n_hits, claimed): claimed iff
+    all k probe bits are set. The sketch side is broadcast (8 KiB per
+    2^16 bits); probes explode k-fold, then one groupBy on probe_id
+    — at scale that is a map-side-combined count, never a sort."""
+    p = (probes.select(F.col(id_col).alias("probe_id"),
+                       F.explode(_bloom_positions(F.col(col), n_bits,
+                                                  k, salt)).alias("pos"))
+         .select("probe_id", F.expr("pos div 32").alias("word_idx"),
+                 (F.col("pos") % 32).cast("int").alias("bit")))
+    hit = (F.col("bits").isNotNull() &
+           (F.col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)")) != 0))
+    return (p.join(F.broadcast(bloom), "word_idx", "left")
+            .select("probe_id", hit.cast("int").alias("hit"))
+            .groupBy("probe_id")
+            .agg(F.sum("hit").cast("bigint").alias("n_hits"))
+            .select("probe_id", "n_hits",
+                    (F.col("n_hits") == k).alias("claimed")))
