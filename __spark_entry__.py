@@ -2728,6 +2728,12 @@ r0 AS (SELECT host, (SELECT r0 FROM n) AS rank_scaled FROM nodes)"""]
             f"{_PR_SCALE} AS rank FROM r{iterations}")
 
 
+def q_chunk_windows(spark, sf_dir):
+    from edspdf_spark.operators.pack import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom sketch of the corpus texts probed with a present set
     (every 7th doc) and a definitely-absent set (every 11th doc,
@@ -2810,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
         "bloom_filter": q_bloom_filter,
+        "chunk_windows": q_chunk_windows,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3310,6 +3317,31 @@ hits AS (
 SELECT probe_id, CAST(sum(hit) AS BIGINT) AS n_hits,
        sum(hit) = 5 AS claimed, actual
 FROM hits GROUP BY probe_id, actual
+"""
+
+# overlapping token windows: chunk c covers tokens [48c, 48c+64);
+# last chunk = first whose end reaches the doc end. The fixed 0..4096
+# series + filter stands in for a correlated generate_series (DuckDB
+# 1.0 lacks lateral args).
+_ORACLES["chunk_windows"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + (greatest(len(toks) - 64, 0) + 47) // 48
+         END AS n_chunks
+  FROM toks),
+js AS (SELECT unnest(generate_series(0, 4096)) AS c)
+SELECT id, CAST(c AS BIGINT) AS chunk_idx,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(c * 48 AS BIGINT) AS start, n_tokens,
+       array_to_string(list_slice(toks, c*48 + 1, c*48 + 64), ' ')
+         AS chunk_text
+FROM base CROSS JOIN js
+WHERE c < n_chunks
 """
 
 

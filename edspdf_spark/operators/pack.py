@@ -108,3 +108,53 @@ def pack_sequences(df: DataFrame, seq_len: int = PACK_SEQ_LEN,
     finally:
         part.unpersist()
     return out
+
+
+# --- overlapping token-window chunking (retrieval / embedding prep) --------
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_windows(df: DataFrame, window: int = CHUNK_WINDOW,
+                  stride: int = CHUNK_STRIDE, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Overlapping token windows per document — the chunking step in
+    front of an embedding model / retrieval index: chunk c covers
+    tokens [c*stride, c*stride + window). Windows start while
+    start < n_tokens and the LAST chunk is the first one whose end
+    reaches the document end (trailing fully-contained starts are
+    dropped: n_chunks = 1 + ceil(max(n - window, 0) / stride)), so
+    every token is covered exactly without degenerate tail chunks.
+
+    Emits (id, chunk_idx, n_chunks, start, n_tokens, chunk_text).
+
+    Scale shape: pure codegen — split once, posexplode a sequence of
+    chunk indices, slice + array_join per chunk. Zero shuffles, zero
+    Python; output amplification is the output itself (each token
+    appears in ~window/stride chunks). Empty documents emit no rows
+    (a chunker's contract is "text in, chunks out").
+    """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("toks"))
+    base = base.select("id", "toks",
+                       F.size("toks").cast("bigint").alias("n_tokens"))
+    # ceil((n - window) / stride) in exact integer math
+    n_chunks = F.when(F.col("n_tokens") <= 0, F.lit(0).cast("bigint")) \
+        .otherwise(F.expr(f"1L + (greatest(n_tokens - {window}, 0L) "
+                          f"+ {stride - 1}) div {stride}"))
+    out = (base.select("id", "toks", "n_tokens",
+                       n_chunks.alias("n_chunks"))
+           .where(F.col("n_chunks") > 0)
+           .select("id", "n_tokens", "n_chunks", "toks",
+                   F.explode(F.sequence(
+                       F.lit(0).cast("bigint"),
+                       F.col("n_chunks") - 1)).alias("c")))
+    chunk = F.slice(F.col("toks"),
+                    (F.col("c") * stride + 1).cast("int"), window)
+    return out.select(
+        "id", F.col("c").alias("chunk_idx"), "n_chunks",
+        (F.col("c") * stride).cast("bigint").alias("start"), "n_tokens",
+        F.array_join(chunk, " ").alias("chunk_text"))
