@@ -2734,6 +2734,12 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    from edspdf_spark.operators.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=5)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom sketch of the corpus texts probed with a present set
     (every 7th doc) and a definitely-absent set (every 11th doc,
@@ -2817,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "bloom_filter": q_bloom_filter,
         "chunk_windows": q_chunk_windows,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3342,6 +3349,33 @@ SELECT id, CAST(c AS BIGINT) AS chunk_idx,
          AS chunk_text
 FROM base CROSS JOIN js
 WHERE c < n_chunks
+"""
+
+# TF-IDF with integer-quantized IDF: floor(log2(N * 2^20 / df)) via
+# bin-length — no float log, bit-exact ranking.
+_ORACLES["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS term
+  FROM documents),
+tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, d.df,
+         tf.tf * (length(bin(((SELECT n_docs FROM n) * 1048576) // d.df))
+                  - 1) AS score_scaled
+  FROM tf JOIN dfreq d USING (term)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY id
+        ORDER BY score_scaled DESC, tf DESC, term ASC) AS rk
+      FROM scored)
+SELECT id, term, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
 """
 
 

@@ -115,7 +115,8 @@ def main() -> None:
                 "dsir_select", "knn_classify", "badwords_filter",
                 "warc_roundtrip", "token_budget", "asof_join",
                 "hll_distinct", "cm_sketch", "link_graph",
-                "host_pagerank", "bloom_filter", "chunk_windows"]
+                "host_pagerank", "bloom_filter", "chunk_windows",
+                "tfidf_top_terms"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

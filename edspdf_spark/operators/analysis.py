@@ -1067,3 +1067,50 @@ def bloom_member(bloom: DataFrame, probes: DataFrame,
             .agg(F.sum("hit").cast("bigint").alias("n_hits"))
             .select("probe_id", "n_hits",
                     (F.col("n_hits") == k).alias("claimed")))
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+TFIDF_TOP_K = 5
+TFIDF_IDF_SCALE = 1 << 20
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic corpus
+    keyword/summarization signal. IDF is integer-quantized
+    (floor(log2(N * 2^20 / df)) via bin-length, the lm_ppl pattern),
+    so scores and the (score desc, tf desc, term asc) ranking are
+    bit-exact across engines and partitionings; no float log.
+
+    Output: (id, term, tf, df, score_scaled, rk), rk <= top_k.
+
+    Scale shape: explode -> groupBy(id, term) with map-side combine
+    (shuffle 1, the only corpus-sized exchange); document frequencies
+    aggregate the (id, term) table down to vocab size (tiny) and come
+    back as a BROADCAST join; corpus size joins as a broadcast
+    one-row aggregate (no driver action); the top-k window
+    repartitions the tf table by id (shuffle 2 — inherent to any
+    per-doc ranking, and it carries aggregated rows, not tokens).
+    """
+    toks = tokens(F.col(text_col))
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(toks).alias("term"))
+          .groupBy("id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_docs))
+              .select("id", "term", "tf", "df",
+                      (F.col("tf") *
+                       (F.length(F.bin(F.expr(
+                           f"(n_docs * {TFIDF_IDF_SCALE}L) div df")))
+                        - 1).cast("bigint")).alias("score_scaled")))
+    from pyspark.sql import Window
+    wnd = (Window.partitionBy("id")
+           .orderBy(F.desc("score_scaled"), F.desc("tf"), F.asc("term")))
+    return (scored.withColumn("rk", F.row_number().over(wnd)
+                              .cast("bigint"))
+            .where(F.col("rk") <= top_k))
