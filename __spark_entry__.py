@@ -2734,6 +2734,80 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
 
 
+# derived multi-paragraph corpus: boilerplate-framed body slices so
+# every class (short / good / near-good / bad) and both context
+# directions occur; the expression is portable Spark-SQL + DuckDB
+_PARA_TEXT_SQL = (
+    "'menu' || chr(10) || substr(text, 1, 150) || chr(10) || "
+    "'copyright 2024 example inc all rights reserved legal notice' || "
+    "chr(10) || 'more' || chr(10) || substr(text, 151, 150)")
+
+
+def q_paragraph_classify(spark, sf_dir):
+    from edspdf_spark.operators.analysis import paragraph_classify
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PARA_TEXT_SQL} AS text")
+    return paragraph_classify(docs, FUNNEL_STOPWORDS)
+
+
+def _paragraph_oracle() -> str:
+    from edspdf_spark.operators.analysis import (PARA_LEN_SHORT,
+                                                 PARA_STOP_HI_MILLI,
+                                                 PARA_STOP_LO_MILLI)
+
+    stoplist = ", ".join(f"'{w}'" for w in FUNNEL_STOPWORDS)
+    return f"""
+WITH docs AS (SELECT doc_id AS id, {_PARA_TEXT_SQL} AS text
+              FROM documents),
+px AS (
+  SELECT id, u.idx AS para_idx, u.para AS para FROM (
+    SELECT id, unnest(list_transform(
+        generate_series(1, len(string_split(text, chr(10)))),
+        i -> {{'idx': i - 1,
+               'para': string_split(text, chr(10))[i]}})) AS u
+    FROM docs)
+  ),
+keepx AS (SELECT * FROM px WHERE trim(para) <> ''),
+sig AS (
+  SELECT id, CAST(para_idx AS BIGINT) AS para_idx,
+         CAST(length(para) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(para, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(para, ' '),
+                              t -> t IN ({stoplist})))
+              AS BIGINT) AS n_stop
+  FROM keepx),
+cls AS (
+  SELECT id, para_idx, n_chars, n_tokens, stop_milli,
+         CASE WHEN n_chars < {PARA_LEN_SHORT} THEN 'short'
+              WHEN stop_milli >= {PARA_STOP_HI_MILLI} THEN 'good'
+              WHEN stop_milli >= {PARA_STOP_LO_MILLI} THEN 'near-good'
+              ELSE 'bad' END AS init_class
+  FROM (SELECT *, (1000 * n_stop) // greatest(n_tokens, 1)
+               AS stop_milli
+        FROM sig)),
+ctx AS (
+  SELECT *,
+         last_value(CASE WHEN init_class IN ('good', 'bad')
+                         THEN init_class END IGNORE NULLS)
+           OVER (PARTITION BY id ORDER BY para_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_ctx,
+         first_value(CASE WHEN init_class IN ('good', 'bad')
+                          THEN init_class END IGNORE NULLS)
+           OVER (PARTITION BY id ORDER BY para_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_ctx
+  FROM cls)
+SELECT id, para_idx, n_chars, n_tokens, stop_milli, init_class,
+       CASE WHEN init_class IN ('good', 'bad') THEN init_class
+            WHEN prev_ctx = 'good' OR next_ctx = 'good' THEN 'good'
+            ELSE 'bad' END AS final_class
+FROM ctx
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from edspdf_spark.operators.analysis import tfidf_top_terms
 
@@ -2824,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "chunk_windows": q_chunk_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "paragraph_classify": q_paragraph_classify,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3388,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
     exact oracle."""
     out = dict(_ORACLES)
     out["host_pagerank"] = _pagerank_oracle()
+    out["paragraph_classify"] = _paragraph_oracle()
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()
