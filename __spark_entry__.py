@@ -2649,8 +2649,10 @@ def _linked_pages(spark, sf_dir):
         F.lit("https://h"), (e % 23).cast("string"), F.lit(".example.com"))
     html = F.concat(
         F.lit('<nav><a href="/rel">home</a></nav><p>see <a class="x" href="'),
-        host(3 * i + 1), F.lit('/p">one</a> and <A HREF="'),
-        host(7 * i + 3), F.lit('/q">two</A>'),
+        host(3 * i + 1), F.lit('/p">read doc '), (i % 7).cast("string"),
+        F.lit('</a> and <A HREF="'),
+        host(7 * i + 3), F.lit('/q">guide '), (i % 5).cast("string"),
+        F.lit("</A>"),
         F.when(i % 4 == 0,
                F.concat(F.lit('<a href="'), host(11 * i + 5),
                         F.lit('/r">three</a>')))
@@ -2664,6 +2666,12 @@ def q_link_graph(spark, sf_dir):
     from edspdf_spark.operators.graph import extract_links, host_edges
 
     return host_edges(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def q_anchor_terms(spark, sf_dir):
+    from edspdf_spark.operators.graph import anchor_terms, extract_anchors
+
+    return anchor_terms(extract_anchors(_linked_pages(spark, sf_dir)))
 
 
 def q_host_pagerank(spark, sf_dir):
@@ -2680,9 +2688,11 @@ _LINKED_PAGES_SQL = """
             || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
           '<nav><a href="/rel">home</a></nav><p>see <a class="x" href="https://h'
             || CAST((3*doc_id+1) % 23 AS VARCHAR)
-            || '.example.com/p">one</a> and <A HREF="https://h'
+            || '.example.com/p">read doc ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</a> and <A HREF="https://h'
             || CAST((7*doc_id+3) % 23 AS VARCHAR)
-            || '.example.com/q">two</A>'
+            || '.example.com/q">guide ' || CAST(doc_id % 5 AS VARCHAR)
+            || '</A>'
             || CASE WHEN doc_id % 4 = 0 THEN '<a href="https://h'
                  || CAST((11*doc_id+5) % 23 AS VARCHAR)
                  || '.example.com/r">three</a>' ELSE '' END
@@ -2895,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trainable_classify": q_trainable_classify,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
+        "anchor_terms": q_anchor_terms,
         "bloom_filter": q_bloom_filter,
         "chunk_windows": q_chunk_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3363,6 +3374,28 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM hosts
 WHERE dst_host <> '' AND src_host <> dst_host
 GROUP BY src_host, dst_host
+"""
+
+# anchor-text rollup: same portable two-group regex zipped
+_ORACLES["anchor_terms"] = f"""
+WITH pages AS (SELECT * FROM {_LINKED_PAGES_SQL} p),
+az AS (
+  SELECT unnest(list_zip(
+      regexp_extract_all(html,
+        '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1),
+      regexp_extract_all(html,
+        '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2))) AS z
+  FROM pages),
+a AS (SELECT z[1] AS href, z[2] AS anchor FROM az
+      WHERE lower(z[1]) LIKE 'http://%' OR lower(z[1]) LIKE 'https://%'),
+t AS (
+  SELECT lower(split_part(split_part(href, '//', 2), '/', 1)) AS dst_host,
+         unnest(list_filter(string_split(lower(anchor), ' '),
+                            w -> w <> '')) AS term
+  FROM a)
+SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_anchors
+FROM t WHERE dst_host <> ''
+GROUP BY dst_host, term
 """
 
 # Bloom sketch: same md5-prefix positions, 32-bit words (DuckDB's

@@ -138,3 +138,48 @@ def host_pagerank(edges: DataFrame, iterations: int = 4,
         (F.col("rank_scaled").cast("double") / F.lit(float(scale)))
         .alias("rank"))
     return out
+
+
+# --- anchor text -----------------------------------------------------------
+
+# href + inner text of simple (non-nested) anchors; same portable
+# regex subset rules as HREF_PATTERN
+ANCHOR_PATTERN = '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url, html, ...) -> (src_url, href, anchor): one row per
+    anchor whose text contains no nested markup. Two capture groups
+    pulled as parallel regexp_extract_all arrays and zipped — same
+    match set, so the arrays always align."""
+    html = F.col(html_col).cast("string")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 1),
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 2))
+    return (pages.select(F.col(url_col).alias("src_url"),
+                         F.explode(zipped).alias("z"))
+            .select("src_url", F.col("z.0").alias("href"),
+                    F.col("z.1").alias("anchor")))
+
+
+def anchor_terms(anchors: DataFrame) -> DataFrame:
+    """(src_url, href, anchor) -> (dst_host, term, n_anchors): the
+    anchor-text expansion signal — terms other pages use when linking
+    to a host (search/relevance pipelines index these alongside the
+    target's own text; host-level here, matching host_edges).
+
+    Absolute http(s) targets only; terms are lowercased whitespace
+    tokens. One shuffle (groupBy with map-side combine); term
+    cardinality is anchor vocabulary x hosts, far below the corpus.
+    """
+    absolute = F.lower(F.col("href")).startswith("http://") | \
+        F.lower(F.col("href")).startswith("https://")
+    toks = F.explode(F.filter(
+        F.split(F.lower(F.col("anchor")), " "), lambda t: t != ""))
+    t = (anchors.where(absolute)
+         .select(_host(F.col("href")).alias("dst_host"),
+                 toks.alias("term"))
+         .where(F.col("dst_host") != ""))
+    return t.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n_anchors"))

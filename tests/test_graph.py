@@ -6,7 +6,8 @@ invariance, and plan pins (codegen extraction, broadcast rank join)."""
 import pytest
 from pyspark.sql import functions as F
 
-from edspdf_spark.operators.graph import (PAGERANK_SCALE, extract_links,
+from edspdf_spark.operators.graph import (PAGERANK_SCALE, anchor_terms,
+                                          extract_anchors, extract_links,
                                           host_edges, host_pagerank)
 
 
@@ -119,6 +120,43 @@ def test_extraction_plan_is_codegen_only(pages):
     rollup_plan = _plan(host_edges(extract_links(pages)))
     assert "EvalPython" not in rollup_plan
     assert rollup_plan.count("Exchange") == 1, rollup_plan
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    rows = [("https://a.example.com/1",
+             '<a href="https://b.example.com/x">Read This</a>'
+             '<a href="https://c.example.com/y"><b>nested</b></a>'
+             '<A HREF="https://d.example.com/z" rel="nofollow">plain</A>')]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {(r.href, r.anchor) for r in extract_anchors(pages).collect()}
+    assert ("https://b.example.com/x", "Read This") in got
+    assert ("https://d.example.com/z", "plain") in got
+    # nested markup anchors are outside the simple-subset contract
+    assert all("nested" not in a for _, a in got)
+
+
+def test_anchor_terms_rollup(spark):
+    rows = [("https://a.example.com/1",
+             '<a href="https://b.example.com/x">Best Guide</a>'
+             '<a href="https://b.example.com/y">best   docs</a>'
+             '<a href="/rel">relative skipped</a>')]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {(r.dst_host, r.term): r.n_anchors
+           for r in anchor_terms(extract_anchors(pages)).collect()}
+    assert got[("b.example.com", "best")] == 2  # case-folded, both links
+    assert got[("b.example.com", "guide")] == 1
+    assert got[("b.example.com", "docs")] == 1
+    assert all(h == "b.example.com" for h, _ in got)
+
+
+def test_anchor_plan_codegen_single_shuffle(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example.com/1",
+          '<a href="https://b.example.com/x">hello</a>')],
+        "url string, html string")
+    plan = _plan(anchor_terms(extract_anchors(pages)))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_pagerank_iteration_broadcasts_ranks(spark):
