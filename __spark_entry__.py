@@ -2818,6 +2818,56 @@ FROM ctx
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Two synthetic captures: every 13th doc removed, every 7th
+    (surviving) changed, every 10th re-added under a new id."""
+    from edspdf_spark.operators.dedup import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    old = d
+    new = (d.where(F.col("doc_id") % 13 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" [rev2]")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               d.where(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                       "text")))
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
+# deterministic mojibake injection shared by both engines (plain
+# characters only — no quoting hazards)
+_MOJI_TEXT_SQL = ("substr(text, 1, 100) || ' cafÃ© donâ€™t naÃ¯ve "
+                  "rÃ©sumÃ© â€œquoteâ€“dash â€¦end ' || "
+                  "substr(text, 101, 100)")
+
+
+def q_fix_mojibake(spark, sf_dir):
+    from edspdf_spark.operators.analysis import fix_mojibake
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_MOJI_TEXT_SQL} AS text")
+    return fix_mojibake(docs)
+
+
+def _mojibake_oracle() -> str:
+    from edspdf_spark.operators.analysis import MOJIBAKE_MAP
+
+    parts = [f"t0 AS (SELECT doc_id AS id, {_MOJI_TEXT_SQL} AS s, "
+             f"0 AS nf FROM documents)"]
+    for i, (bad, good) in enumerate(MOJIBAKE_MAP, start=1):
+        parts.append(
+            f"t{i} AS (SELECT id, replace(s, '{bad}', '{good}') AS s, "
+            f"nf + (length(s) - length(replace(s, '{bad}', ''))) "
+            f"// {len(bad)} AS nf FROM t{i - 1})")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT id, s AS text_fixed, CAST(nf AS BIGINT) AS "
+            f"n_fixes, nf > 0 AS had_mojibake "
+            f"FROM t{len(MOJIBAKE_MAP)}")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from edspdf_spark.operators.analysis import tfidf_top_terms
 
@@ -2910,6 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
         "paragraph_classify": q_paragraph_classify,
+        "snapshot_diff": q_snapshot_diff,
+        "fix_mojibake": q_fix_mojibake,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3398,6 +3450,25 @@ FROM t WHERE dst_host <> ''
 GROUP BY dst_host, term
 """
 
+_ORACLES["snapshot_diff"] = """
+WITH old AS (SELECT doc_id AS key, md5(text) AS old_md5 FROM documents),
+new AS (
+  SELECT doc_id AS key,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                  ELSE text END) AS new_md5
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000, md5(text) FROM documents
+  WHERE doc_id % 10 = 0)
+SELECT COALESCE(o.key, n.key) AS key,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN n.new_md5 IS NULL THEN 'removed'
+            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_md5, n.new_md5
+FROM old o FULL OUTER JOIN new n ON o.key = n.key
+"""
+
 # Bloom sketch: same md5-prefix positions, 32-bit words (DuckDB's
 # checked arithmetic rejects 1<<63; bit 31 keeps words positive so
 # they compare as plain BIGINTs across engines).
@@ -3497,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["host_pagerank"] = _pagerank_oracle()
     out["paragraph_classify"] = _paragraph_oracle()
+    out["fix_mojibake"] = _mojibake_oracle()
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

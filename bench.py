@@ -116,7 +116,8 @@ def main() -> None:
                 "warc_roundtrip", "token_budget", "asof_join",
                 "hll_distinct", "cm_sketch", "link_graph",
                 "host_pagerank", "bloom_filter", "chunk_windows",
-                "tfidf_top_terms", "paragraph_classify", "anchor_terms"]
+                "tfidf_top_terms", "paragraph_classify", "anchor_terms",
+                "snapshot_diff", "fix_mojibake"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -1196,3 +1196,42 @@ def paragraph_classify(df: DataFrame, stopwords,
                    F.lit("good"))
              .otherwise(F.lit("bad")))
     return sig.withColumn("final_class", final)
+
+
+# --- mojibake (encoding-damage) repair -------------------------------------
+
+# UTF-8 bytes mis-decoded as Latin-1/cp1252 — the classic web-crawl
+# encoding damage (the ftfy fix set's high-frequency core). Ordered:
+# 3-char punctuation sequences first so their 'â€' prefix is consumed
+# before any 2-char rule could see it.
+MOJIBAKE_MAP = [
+    ("â€™", "’"), ("â€œ", "“"), ("â€“", "–"), ("â€”", "—"),
+    ("â€¦", "…"), ("Ã©", "é"), ("Ã¨", "è"), ("Ã¼", "ü"),
+    ("Ã¶", "ö"), ("Ã¤", "ä"), ("Ã±", "ñ"), ("Ã§", "ç"), ("Ã¯", "ï"),
+]
+
+
+def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, text_fixed, n_fixes, had_mojibake): repair the frozen
+    table of common UTF-8-read-as-Latin-1 sequences by sequential
+    counted replaces — each count is taken on the text as it stands
+    when that rule applies, so n_fixes equals the number of
+    replacements actually performed.
+
+    A full ftfy re-decodes byte streams; this is the deterministic,
+    engine-portable subset that covers the dominant mojibake mass in
+    web corpora. Pure codegen (chained replace), zero shuffles —
+    at 100 TB this rides the same scan as every other per-doc signal.
+    """
+    cur = F.col(text_col)
+    n_fixes = F.lit(0).cast("bigint")
+    for bad, good in MOJIBAKE_MAP:
+        cnt = ((F.length(cur) -
+                F.length(F.replace(cur, F.lit(bad), F.lit(""))))
+               / F.lit(len(bad))).cast("bigint")
+        n_fixes = n_fixes + cnt
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col).alias("id"), cur.alias("text_fixed"),
+        n_fixes.alias("n_fixes"), (n_fixes > 0).alias("had_mojibake"))

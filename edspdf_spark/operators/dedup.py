@@ -392,3 +392,33 @@ def line_dedup_rebuild(df: DataFrame, id_col: str = "doc_id",
                                        F.struct("idx", "line")))),
                             lambda s: s["line"])).alias("text")))
     return rebuilt.select("id", "text", "n_lines", "n_kept")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  content_col: str = "text") -> DataFrame:
+    """Crawl-refresh delta between two captures of a corpus:
+    (key, status, old_md5, new_md5) with status in
+    added / removed / changed / unchanged.
+
+    The incremental-processing primitive: a refresh pipeline
+    reprocesses only `added`+`changed`, tombstones `removed`, and
+    skips `unchanged` (typically the bulk). Content identity is md5
+    — the 15-hex-prefix convention is for BIGINT codes; here the full
+    digest is kept since it is compared, not arithmetic'd.
+
+    Scale shape: each side reduces to (key, md5) at scan time (the
+    text never shuffles), then ONE co-partitioned full-outer
+    sort-merge join on key; both sides hash-partition identically, so
+    at 10^12 rows this is the minimal movement for an exact diff.
+    """
+    o = old.select(F.col(key_col).alias("key"),
+                   F.md5(F.col(content_col)).alias("old_md5"))
+    n = new.select(F.col(key_col).alias("key"),
+                   F.md5(F.col(content_col)).alias("new_md5"))
+    j = o.join(n, "key", "full_outer")
+    status = (F.when(F.col("old_md5").isNull(), F.lit("added"))
+              .when(F.col("new_md5").isNull(), F.lit("removed"))
+              .when(F.col("old_md5") == F.col("new_md5"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("key", status.alias("status"), "old_md5", "new_md5")
