@@ -2818,6 +2818,28 @@ FROM ctx
 """
 
 
+CORPUS_EXCERPT_SQL = """
+  (SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 2000000 AS doc_id, substr(text, 1, 120) AS text
+   FROM documents WHERE doc_id % 9 = 0)
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Excerpt corpus: every 9th doc contributes a 120-char prefix
+    copy — near-total containment in its source while the symmetric
+    jaccard is small (the case this operator exists for)."""
+    from edspdf_spark.operators.dedup import containment_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exc = (d.where(F.col("doc_id") % 9 == 0)
+           .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                   F.expr("substr(text, 1, 120)").alias("text")))
+    sh = shingle_table(d.unionByName(exc), k=3)
+    return containment_pairs(sh, threshold=0.7, min_intersect=3)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Two synthetic captures: every 13th doc removed, every 7th
     (surviving) changed, every 10th re-added under a new id."""
@@ -2962,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_classify": q_paragraph_classify,
         "snapshot_diff": q_snapshot_diff,
         "fix_mojibake": q_fix_mojibake,
+        "containment_pairs": q_containment_pairs,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3072,6 +3095,21 @@ _ORACLES["dedup_jaccard"] = (
     + """
 SELECT id_a, id_b, inter, size_a, size_b, jaccard
 FROM jac WHERE jaccard >= CAST(5 AS DOUBLE)/10
+""")
+
+_ORACLES["containment_pairs"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_EXCERPT_SQL)
+    + ", " + _JACCARD_CORE.format(min_intersect=3)
+    + """
+, dirs AS (
+  SELECT id_a AS id_src, id_b AS id_dst, inter,
+         size_a AS size_src, size_b AS size_dst FROM jac
+  UNION ALL
+  SELECT id_b, id_a, inter, size_b, size_a FROM jac)
+SELECT id_src, id_dst, inter, size_src, size_dst,
+       CAST(inter AS DOUBLE) / size_src AS containment
+FROM dirs
+WHERE CAST(inter AS DOUBLE) / size_src >= CAST(7 AS DOUBLE)/10
 """)
 
 

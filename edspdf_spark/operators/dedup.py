@@ -422,3 +422,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select("key", status.alias("status"), "old_md5", "new_md5")
+
+
+def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
+                      min_intersect: int = 1) -> DataFrame:
+    """One-way near-duplication: containment(src in dst) =
+    |S_src ∩ S_dst| / |S_src| — catches excerpts, quotes, and
+    page-in-site copies that symmetric Jaccard misses whenever the
+    containing document is much larger (jaccard -> 0 while
+    containment -> 1). Emits DIRECTIONAL rows (id_src, id_dst, inter,
+    size_src, size_dst, containment) with containment >= threshold.
+
+    Same scale shape as jaccard_pairs: one shingle self-join (feed a
+    shingle_table built with max_doc_freq to pre-drop stop-shingles /
+    skew), intersections computed once per unordered pair and fanned
+    into both directions after aggregation — the direction fan-out
+    happens on pair rows, never on shingle rows.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("id").alias("id_a"), "code")
+    b = shingles.select(F.col("id").alias("id_b"), "code")
+    inter = (a.join(b, "code")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter"))
+             .where(F.col("inter") >= min_intersect))
+    j = (inter
+         .join(sizes.withColumnRenamed("id", "id_a")
+               .withColumnRenamed("sz", "size_a"), "id_a")
+         .join(sizes.withColumnRenamed("id", "id_b")
+               .withColumnRenamed("sz", "size_b"), "id_b"))
+    fwd = j.select(F.col("id_a").alias("id_src"),
+                   F.col("id_b").alias("id_dst"), "inter",
+                   F.col("size_a").alias("size_src"),
+                   F.col("size_b").alias("size_dst"))
+    rev = j.select(F.col("id_b").alias("id_src"),
+                   F.col("id_a").alias("id_dst"), "inter",
+                   F.col("size_b").alias("size_src"),
+                   F.col("size_a").alias("size_dst"))
+    out = fwd.unionByName(rev)
+    c = F.col("inter") / F.col("size_src")
+    return (out.withColumn("containment", c)
+            .where(F.col("containment") >= threshold))

@@ -76,3 +76,37 @@ def test_winnowing_short_docs_dropped(spark):
         "doc_id long, text string")
     got = winnow_fingerprints(df).collect()
     assert {r["id"] for r in got} == {2}
+
+
+# --- containment_pairs -----------------------------------------------------
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from edspdf_spark.operators.dedup import (containment_pairs,
+                                              jaccard_pairs,
+                                              shingle_table)
+    big = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10))  # first 10 words
+    df = spark.createDataFrame([(1, big), (2, excerpt)],
+                               "doc_id long, text string")
+    sh = shingle_table(df, k=3)
+    # symmetric jaccard: 8 shared shingles / 58 union ~ 0.14 -> missed
+    assert jaccard_pairs(sh, threshold=0.5).count() == 0
+    got = containment_pairs(sh, threshold=0.9).collect()
+    # only the excerpt->big direction passes (8/8 = 1.0); big->excerpt
+    # is 8/58 and must NOT appear
+    assert [(r.id_src, r.id_dst, r.containment) for r in got] == \
+        [(2, 1, 1.0)]
+    r = got[0]
+    assert (r.inter, r.size_src, r.size_dst) == (8, 8, 58)
+
+
+def test_containment_symmetric_dup_both_directions(spark):
+    from edspdf_spark.operators.dedup import (containment_pairs,
+                                              shingle_table)
+    t = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, t), (2, t)],
+                               "doc_id long, text string")
+    got = sorted((r.id_src, r.id_dst)
+                 for r in containment_pairs(shingle_table(df, k=3),
+                                            threshold=0.99).collect())
+    assert got == [(1, 2), (2, 1)]
