@@ -2840,6 +2840,53 @@ def q_containment_pairs(spark, sf_dir):
     return containment_pairs(sh, threshold=0.7, min_intersect=3)
 
 
+# messy-host corpus for registered-domain extraction: multi-label
+# PSL suffix, deep subdomains, uppercase+port, single-label host
+_REGDOM_URL_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'https://www.shop' || CAST(doc_id % 7 AS VARCHAR(8))
+    || '.example.co.uk/p/' || CAST(doc_id AS VARCHAR(12))
+  WHEN 1 THEN 'http://a' || CAST(doc_id % 7 AS VARCHAR(8))
+    || '.blog.example.com/x'
+  WHEN 2 THEN 'https://Host' || CAST(doc_id % 7 AS VARCHAR(8))
+    || '.COM.AU:8080/y'
+  WHEN 3 THEN 'http://single' || CAST(doc_id % 7 AS VARCHAR(8)) || '/z'
+  ELSE 'https://news.site' || CAST(doc_id % 7 AS VARCHAR(8)) || '.org/a'
+END
+"""
+
+
+def q_registered_domain(spark, sf_dir):
+    from edspdf_spark.operators.urls import registered_domain
+
+    u = _docs(spark, sf_dir).selectExpr(f"{_REGDOM_URL_SQL} AS url")
+    return registered_domain(u)
+
+
+def _regdom_oracle() -> str:
+    from edspdf_spark.operators.urls import PSL_MULTI_SUFFIXES
+
+    psl = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES)
+    return f"""
+WITH u AS (SELECT {_REGDOM_URL_SQL} AS url FROM documents),
+h AS (SELECT url,
+             lower(split_part(split_part(split_part(url, '//', 2),
+                                         '/', 1), ':', 1)) AS host
+      FROM u),
+l AS (SELECT url, host, string_split(host, '.') AS ls FROM h)
+SELECT url, host,
+       CASE WHEN len(ls) >= 3 AND
+                 (ls[len(ls)-1] || '.' || ls[len(ls)]) IN ({psl})
+            THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.'
+                 || ls[len(ls)]
+            WHEN len(ls) >= 2
+            THEN ls[len(ls)-1] || '.' || ls[len(ls)]
+            ELSE host END AS reg_domain,
+       ls[len(ls)] AS tld
+FROM l
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Two synthetic captures: every 13th doc removed, every 7th
     (surviving) changed, every 10th re-added under a new id."""
@@ -2985,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "fix_mojibake": q_fix_mojibake,
         "containment_pairs": q_containment_pairs,
+        "registered_domain": q_registered_domain,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3607,6 +3655,7 @@ def oracle_sql() -> dict[str, str]:
     out["host_pagerank"] = _pagerank_oracle()
     out["paragraph_classify"] = _paragraph_oracle()
     out["fix_mojibake"] = _mojibake_oracle()
+    out["registered_domain"] = _regdom_oracle()
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -117,7 +117,8 @@ def main() -> None:
                 "hll_distinct", "cm_sketch", "link_graph",
                 "host_pagerank", "bloom_filter", "chunk_windows",
                 "tfidf_top_terms", "paragraph_classify", "anchor_terms",
-                "snapshot_diff", "fix_mojibake", "containment_pairs"]
+                "snapshot_diff", "fix_mojibake", "containment_pairs",
+                "registered_domain"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -676,3 +676,35 @@ def test_cm_sketch_matches_python_reference_and_never_underestimates(spark):
         assert r["true_count"] == counts[tok]
         assert r["cm_estimate"] == est(tok)       # bit-exact
         assert r["overestimate"] >= 0             # CM never undercounts
+
+
+# --- registered_domain (PSL-lite) ------------------------------------------
+
+def test_registered_domain_cases(spark):
+    from edspdf_spark.operators.urls import registered_domain
+    urls = [
+        "https://www.shop.example.co.uk/p/1",   # multi-label suffix
+        "http://a.blog.example.com/x",          # deep subdomain
+        "https://Host.COM.AU:8080/y",           # case + port
+        "http://single/z",                      # no dots -> host
+        "https://news.site.org/a",
+        "https://example.com/",                 # already registrable
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: (r.host, r.reg_domain, r.tld)
+           for r in registered_domain(df).collect()}
+    assert got[urls[0]] == ("www.shop.example.co.uk",
+                            "example.co.uk", "uk")
+    assert got[urls[1]] == ("a.blog.example.com", "example.com", "com")
+    assert got[urls[2]] == ("host.com.au", "host.com.au", "au")
+    assert got[urls[3]] == ("single", "single", "single")
+    assert got[urls[4]] == ("news.site.org", "site.org", "org")
+    assert got[urls[5]] == ("example.com", "example.com", "com")
+
+
+def test_registered_domain_plan_zero_shuffle(spark):
+    from edspdf_spark.operators.urls import registered_domain
+    df = spark.createDataFrame([("https://a.b.com/x",)], "url string")
+    plan = registered_domain(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
