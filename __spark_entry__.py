@@ -2840,6 +2840,52 @@ def q_containment_pairs(spark, sf_dir):
     return containment_pairs(sh, threshold=0.7, min_intersect=3)
 
 
+# head-section corpus for page-metadata extraction: title always,
+# noindex on every 3rd page, canonical on every 4th
+_META_HTML_SQL = """
+'<head><TITLE>Doc ' || CAST(doc_id AS VARCHAR(12)) || ' guide</TITLE>'
+|| CASE WHEN doc_id % 3 = 0
+        THEN '<meta name="robots" content="NOINDEX, follow">'
+        ELSE '<meta name="robots" content="index, follow">' END
+|| CASE WHEN doc_id % 4 = 0
+        THEN '<link rel="canonical" href="https://canon.example.com/d/'
+             || CAST(doc_id % 50 AS VARCHAR(8)) || '">'
+        ELSE '' END
+|| '</head><body>x</body>'
+"""
+
+
+def q_html_meta(spark, sf_dir):
+    from edspdf_spark.operators.graph import html_meta
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "'https://example.org/doc/' || CAST(doc_id AS VARCHAR(12)) AS url",
+        f"{_META_HTML_SQL} AS html")
+    return html_meta(pages)
+
+
+_META_ORACLE = """
+WITH pages AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR(12)) AS url,
+         {html} AS html
+  FROM documents),
+x AS (
+  SELECT url,
+         list_extract(regexp_extract_all(html,
+           '(?i)<title[^>]*>([^<]*)</title>', 1), 1) AS title,
+         lower(coalesce(list_extract(regexp_extract_all(html,
+           '(?i)<meta\\s[^>]*name="robots"[^>]*content="([^"]*)"', 1),
+           1), '')) AS robots,
+         list_extract(regexp_extract_all(html,
+           '(?i)<link\\s[^>]*rel="canonical"[^>]*href="([^"]*)"', 1),
+           1) AS canonical
+  FROM pages)
+SELECT url, title, robots, robots LIKE '%noindex%' AS has_noindex,
+       canonical
+FROM x
+"""
+
+
 # messy-host corpus for registered-domain extraction: multi-label
 # PSL suffix, deep subdomains, uppercase+port, single-label host
 _REGDOM_URL_SQL = """
@@ -3033,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "containment_pairs": q_containment_pairs,
         "registered_domain": q_registered_domain,
+        "html_meta": q_html_meta,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3656,6 +3703,7 @@ def oracle_sql() -> dict[str, str]:
     out["paragraph_classify"] = _paragraph_oracle()
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()
+    out["html_meta"] = _META_ORACLE.format(html=_META_HTML_SQL)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -183,3 +183,32 @@ def anchor_terms(anchors: DataFrame) -> DataFrame:
          .where(F.col("dst_host") != ""))
     return t.groupBy("dst_host", "term").agg(
         F.count(F.lit(1)).alias("n_anchors"))
+
+
+# --- page metadata ---------------------------------------------------------
+
+# same portable-subset contract as HREF_PATTERN: double quotes, the
+# canonical attribute order (name/rel before content/href)
+TITLE_PATTERN = "(?i)<title[^>]*>([^<]*)</title>"
+ROBOTS_PATTERN = '(?i)<meta\\s[^>]*name="robots"[^>]*content="([^"]*)"'
+CANONICAL_PATTERN = '(?i)<link\\s[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def html_meta(pages: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """(url, title, robots, has_noindex, canonical): the page-level
+    crawl-policy signals — a compliant corpus drops has_noindex pages
+    and dedups on canonical URLs before content dedup ever runs.
+    First occurrence of each tag wins (get(..., 0) is NULL-safe when
+    absent, unlike element_at under ANSI). Pure codegen, rides the
+    page scan."""
+    html = F.col(html_col).cast("string")
+    first = lambda pat: F.get(  # noqa: E731
+        F.regexp_extract_all(html, F.lit(pat), 1), 0)
+    robots = F.lower(F.coalesce(first(ROBOTS_PATTERN), F.lit("")))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        first(TITLE_PATTERN).alias("title"),
+        robots.alias("robots"),
+        robots.like("%noindex%").alias("has_noindex"),
+        first(CANONICAL_PATTERN).alias("canonical"))

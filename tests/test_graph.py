@@ -159,6 +159,34 @@ def test_anchor_plan_codegen_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_html_meta_signals(spark):
+    from edspdf_spark.operators.graph import html_meta
+    rows = [
+        ("u1", '<head><TITLE>A Page</TITLE>'
+               '<meta name="robots" content="NOINDEX, nofollow">'
+               '<link rel="canonical" href="https://c.com/a"></head>'),
+        ("u2", "<head><title>First</title><title>Second</title></head>"),
+        ("u3", "<body>no head tags at all</body>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in html_meta(pages).collect()}
+    assert got["u1"].title == "A Page"
+    assert got["u1"].has_noindex and got["u1"].robots == "noindex, nofollow"
+    assert got["u1"].canonical == "https://c.com/a"
+    assert got["u2"].title == "First"            # first occurrence wins
+    assert not got["u2"].has_noindex
+    assert got["u3"].title is None and got["u3"].canonical is None
+    assert got["u3"].robots == "" and not got["u3"].has_noindex
+
+
+def test_html_meta_plan_zero_shuffle(spark):
+    from edspdf_spark.operators.graph import html_meta
+    pages = spark.createDataFrame([("u", "<title>t</title>")],
+                                  "url string, html string")
+    plan = _plan(html_meta(pages))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
 def test_pagerank_iteration_broadcasts_ranks(spark):
     edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
     plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False))
