@@ -1050,6 +1050,19 @@ def q_dedup_components(spark, sf_dir):
     return dedup_keep_list(corpus, pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup clusters keep their longest member (quality proxy)
+    rather than the min id."""
+    from edspdf_spark.operators.components import keep_best_per_cluster
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, k=3, n_hashes=8, band_size=2,
+                              threshold=0.5)
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("bigint").alias("score"))
+    return keep_best_per_cluster(corpus, pairs, scores)
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary table: doc frequency + total count per token."""
     from edspdf_spark.functions import tokens
@@ -3080,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "registered_domain": q_registered_domain,
         "html_meta": q_html_meta,
+        "dedup_keep_best": q_dedup_keep_best,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3266,6 +3280,46 @@ SELECT co.doc_id AS id,
        co.doc_id = coalesce(reach.component, co.doc_id) AS keep
 FROM """ + CORPUS_NEAR_SQL + """ co
 LEFT JOIN reach ON co.doc_id = reach.id
+""")
+
+_ORACLES["dedup_keep_best"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+    + ", " + _minhash_sql(8)
+    + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
+    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + """,
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= CAST(5 AS DOUBLE)/10
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  WITH RECURSIVE r(id, comp) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, r2.comp FROM edges e JOIN r r2 ON e.dst = r2.id
+  )
+  SELECT id, min(comp) AS component FROM r GROUP BY id
+),
+lab AS (
+  SELECT co.doc_id AS id,
+         coalesce(reach.component, co.doc_id) AS component,
+         CAST(length(co.text) AS BIGINT) AS score
+  FROM """ + CORPUS_NEAR_SQL + """ co
+  LEFT JOIN reach ON co.doc_id = reach.id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY score DESC, id ASC) AS rn
+  FROM lab
+)
+SELECT id, component, score, rn = 1 AS keep FROM rk
 """)
 
 _ORACLES["vocab_stats"] = """

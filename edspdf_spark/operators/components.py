@@ -149,3 +149,36 @@ def dedup_keep_list(corpus: DataFrame, pairs: DataFrame,
                .withColumn("component",
                            F.coalesce(F.col("component"), F.col("id"))))
     return labeled.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def keep_best_per_cluster(corpus: DataFrame, pairs: DataFrame,
+                          scores: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, component, score, keep) over the whole corpus: each
+    near-dup cluster keeps its BEST-scoring member (ties: smallest
+    id) instead of dedup_keep_list's min-id rule — the production
+    dedup policy when a quality signal exists (keep the highest-
+    quality capture, drop its mirrors).
+
+    `scores` is (id_col, score:BIGINT) — integer so the argmax is
+    exact. Winner selection is a struct-max (score, -id): a partial
+    aggregate with map-side combine, not a window sort. Plan shape:
+    corpus joins scores on id (usually collapses — scores are
+    derived from the same scan), one component-keyed aggregation of
+    (component, best) pairs, one join back on component.
+    """
+    comp = connected_components(pairs)
+    all_ids = corpus.select(F.col(id_col).alias("id"))
+    labeled = (all_ids.join(comp, "id", "left")
+               .withColumn("component",
+                           F.coalesce(F.col("component"), F.col("id"))))
+    sc = scores.select(F.col(id_col).alias("id"),
+                       F.col("score").cast("bigint").alias("score"))
+    j = labeled.join(sc, "id")
+    best = (j.groupBy("component")
+            .agg(F.max(F.struct(F.col("score").alias("s"),
+                                (-F.col("id")).alias("negid")))
+                 .alias("b")))
+    return (j.join(best, "component")
+            .select("id", "component", "score",
+                    (F.col("id") == -F.col("b.negid")).alias("keep")))

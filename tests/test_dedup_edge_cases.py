@@ -110,3 +110,35 @@ def test_containment_symmetric_dup_both_directions(spark):
                  for r in containment_pairs(shingle_table(df, k=3),
                                             threshold=0.99).collect())
     assert got == [(1, 2), (2, 1)]
+
+
+# --- keep_best_per_cluster -------------------------------------------------
+
+def test_keep_best_overrides_min_id(spark):
+    """The higher-scoring LARGER id must win (min-id rule would pick
+    the other)."""
+    from pyspark.sql import functions as F
+    from edspdf_spark.operators.components import keep_best_per_cluster
+    corpus = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer better capture"),
+         (3, "singleton")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("bigint").alias("score"))
+    got = {r.id: r for r in
+           keep_best_per_cluster(corpus, pairs, scores).collect()}
+    assert not got[1].keep and got[2].keep          # best, not min id
+    assert got[1].component == got[2].component == 1
+    assert got[3].keep and got[3].component == 3    # singleton
+
+
+def test_keep_best_tie_breaks_to_smallest_id(spark):
+    from edspdf_spark.operators.components import keep_best_per_cluster
+    corpus = spark.createDataFrame(
+        [(5, "same"), (9, "same")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 9)], "id_a long, id_b long")
+    scores = spark.createDataFrame([(5, 10), (9, 10)],
+                                   "doc_id long, score long")
+    got = {r.id: r.keep for r in
+           keep_best_per_cluster(corpus, pairs, scores).collect()}
+    assert got == {5: True, 9: False}
