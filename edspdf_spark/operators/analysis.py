@@ -1224,7 +1224,17 @@ def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
     web corpora. Pure codegen (chained replace), zero shuffles —
     at 100 TB this rides the same scan as every other per-doc signal.
     """
-    cur = F.col(text_col)
+    cur, n_fixes = mojibake_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"), cur.alias("text_fixed"),
+        n_fixes.alias("n_fixes"), (n_fixes > 0).alias("had_mojibake"))
+
+
+def mojibake_columns(text_col):
+    """(fixed, n_fixes) column pair over an arbitrary text column —
+    the embeddable form for composing the repair into wider selects
+    (e.g. as the first stage of a cleaning funnel) without a join."""
+    cur = text_col
     n_fixes = F.lit(0).cast("bigint")
     for bad, good in MOJIBAKE_MAP:
         cnt = ((F.length(cur) -
@@ -1232,6 +1242,4 @@ def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
                / F.lit(len(bad))).cast("bigint")
         n_fixes = n_fixes + cnt
         cur = F.replace(cur, F.lit(bad), F.lit(good))
-    return df.select(
-        F.col(id_col).alias("id"), cur.alias("text_fixed"),
-        n_fixes.alias("n_fixes"), (n_fixes > 0).alias("had_mojibake"))
+    return cur, n_fixes

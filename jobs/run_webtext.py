@@ -48,10 +48,18 @@ def clean_stage(badwords, id_col: str, text_col: str, stopwords=None):
 
     from edspdf_spark.operators.analysis import (gopher_quality,
                                                  gopher_repetition,
+                                                 mojibake_columns,
                                                  pii_scrub,
                                                  word_blocklist_filter)
 
     def fn(df):
+        # encoding repair FIRST (the ftfy position in production
+        # pipelines): downstream rules judge the repaired text. One
+        # projection — both outputs reference the pre-repair column,
+        # so no join and no double scan.
+        fixed, n_moji = mojibake_columns(F.col(text_col))
+        df = df.withColumns({text_col: fixed,
+                             "n_mojibake_fixes": n_moji})
         gq = gopher_quality(df, id_col, text_col,
                             stopwords=stopwords).select(
             "id", F.col("keep").alias("keep_quality"))
@@ -63,7 +71,8 @@ def clean_stage(badwords, id_col: str, text_col: str, stopwords=None):
             "id", F.col("text").alias("scrubbed_text"),
             (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
             .alias("n_pii"))
-        out = (df.select(F.col(id_col).alias("id"))
+        out = (df.select(F.col(id_col).alias("id"),
+                         "n_mojibake_fixes")
                .join(gq, "id").join(gr, "id").join(bw, "id")
                .join(pii, "id"))
         return (out.withColumn(

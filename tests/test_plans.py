@@ -175,3 +175,27 @@ def test_stage_checkpoint_resume_after_crash(spark, tmp_path):
                 for r in spark.read.parquet(f).collect())
     assert total == len(want)
     docs.unpersist()
+
+
+def test_clean_stage_repairs_mojibake_before_filtering(spark):
+    """The funnel judges REPAIRED text: a doc whose only bad-word hit
+    appears post-repair must be dropped, and fix counts surface."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_webtext import clean_stage
+
+    base = ("the data value rows " * 20).strip()
+    # the blocked word is 'café'; doc 1 carries it ONLY in mojibake
+    # form, so the verdict flips iff repair runs before the filter
+    docs = spark.createDataFrame(
+        [(1, base + " cafÃ©"), (2, base + " cafe")],
+        "doc_id long, text string")
+    stage = clean_stage(["café"], "doc_id", "text",
+                        stopwords=["the", "data", "value"])
+    got = {r.doc_id: r for r in stage(docs).collect()}
+    # the repetitive filler trips the repetition rule for both docs;
+    # the assertions under test are the badword verdict on REPAIRED
+    # text and the surfaced fix count
+    assert got[1].n_mojibake_fixes == 1 and not got[1].keep_badwords
+    assert not got[1].keep
+    assert got[2].n_mojibake_fixes == 0 and got[2].keep_badwords
