@@ -44,7 +44,12 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "decontaminate", "quality_classify", "lm_ppl_buckets",
            "semantic_dedup", "dsir_select", "knn_classify",
            "badwords_filter", "warc_roundtrip", "token_budget",
-           "asof_join", "hll_distinct", "cm_sketch"]
+           "asof_join", "hll_distinct", "cm_sketch",
+           "link_graph", "host_pagerank", "anchor_terms",
+           "bloom_filter", "chunk_windows", "tfidf_top_terms",
+           "paragraph_classify", "snapshot_diff", "fix_mojibake",
+           "containment_pairs", "registered_domain", "html_meta",
+           "dedup_keep_best", "crawl_schedule"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)

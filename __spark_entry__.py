@@ -2946,6 +2946,33 @@ FROM l
 """
 
 
+def q_crawl_schedule(spark, sf_dir):
+    from edspdf_spark.operators.urls import crawl_schedule
+
+    u = _docs(spark, sf_dir).selectExpr(
+        "'https://h' || CAST(doc_id % 23 AS VARCHAR(4)) || "
+        "'.example.com/page/' || CAST(doc_id AS VARCHAR(12)) AS url")
+    return crawl_schedule(u, per_host_concurrency=4)
+
+
+_CRAWL_SCHEDULE_ORACLE = """
+WITH u AS (
+  SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR(4))
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR(12)) AS url
+  FROM documents),
+b AS (
+  SELECT url, lower(split_part(split_part(url, '//', 2), '/', 1)) AS host,
+         ('0x' || substr(md5(url || ':crawl-v1'), 1, 15))::BIGINT AS rk
+  FROM u),
+s AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY rk, url)
+              AS BIGINT) - 1 AS host_seq
+  FROM b)
+SELECT url, host, host_seq, host_seq // 4 AS slot FROM s
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Two synthetic captures: every 13th doc removed, every 7th
     (surviving) changed, every 10th re-added under a new id."""
@@ -3094,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain": q_registered_domain,
         "html_meta": q_html_meta,
         "dedup_keep_best": q_dedup_keep_best,
+        "crawl_schedule": q_crawl_schedule,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3758,6 +3786,7 @@ def oracle_sql() -> dict[str, str]:
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()
     out["html_meta"] = _META_ORACLE.format(html=_META_HTML_SQL)
+    out["crawl_schedule"] = _CRAWL_SCHEDULE_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -118,7 +118,8 @@ def main() -> None:
                 "host_pagerank", "bloom_filter", "chunk_windows",
                 "tfidf_top_terms", "paragraph_classify", "anchor_terms",
                 "snapshot_diff", "fix_mojibake", "containment_pairs",
-                "registered_domain", "html_meta", "dedup_keep_best"]
+                "registered_domain", "html_meta", "dedup_keep_best",
+                "crawl_schedule"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

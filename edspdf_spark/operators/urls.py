@@ -111,3 +111,36 @@ def registered_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.select(
         F.col(url_col).alias("url"), host.alias("host"),
         reg.alias("reg_domain"), g(n - 1).alias("tld"))
+
+
+def crawl_schedule(df: DataFrame, url_col: str = "url",
+                   per_host_concurrency: int = 2,
+                   salt: str = "crawl-v1") -> DataFrame:
+    """(url, host, host_seq, slot): politeness-aware fetch planning —
+    every host's URLs are numbered deterministically (md5 order, so
+    the plan is reproducible and repartition-stable) and packed into
+    slots of `per_host_concurrency` fetches; a scheduler runs slot 0
+    everywhere, then slot 1, ... so no host ever sees more than
+    `per_host_concurrency` in-flight requests while the fleet stays
+    saturated across hosts.
+
+    One exchange (the per-host window); the frontier rows are tiny
+    (url + hash). Skewed giant hosts simply stretch into many slots —
+    exactly the throttling the schedule exists to express.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import code15
+
+    host = F.lower(F.split_part(F.split_part(F.col(url_col), F.lit("//"),
+                                             F.lit(2)),
+                                F.lit("/"), F.lit(1)))
+    rk = code15(F.concat(F.col(url_col), F.lit(":" + salt)))
+    w = Window.partitionBy("host").orderBy("rk", url_col)
+    base = df.select(F.col(url_col).alias("url"), host.alias("host"),
+                     rk.alias("rk"))
+    seq = F.row_number().over(w).cast("bigint") - 1
+    return (base.withColumn("host_seq", seq)
+            .select("url", "host", "host_seq",
+                    F.expr(f"host_seq div {per_host_concurrency}")
+                    .alias("slot")))

@@ -708,3 +708,33 @@ def test_registered_domain_plan_zero_shuffle(spark):
     plan = registered_domain(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+# --- crawl_schedule --------------------------------------------------------
+
+def test_crawl_schedule_politeness_invariants(spark):
+    from edspdf_spark.operators.urls import crawl_schedule
+    urls = [f"https://h{i % 3}.com/p/{i}" for i in range(20)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = crawl_schedule(df, per_host_concurrency=2).collect()
+    # every URL scheduled exactly once
+    assert sorted(r.url for r in rows) == sorted(urls)
+    per = {}
+    for r in rows:
+        per.setdefault(r.host, []).append((r.host_seq, r.slot))
+    for host, seqs in per.items():
+        idx = sorted(s for s, _ in seqs)
+        assert idx == list(range(len(seqs)))        # dense 0..n-1
+        # never more than 2 fetches of one host in a slot
+        from collections import Counter
+        assert max(Counter(sl for _, sl in seqs).values()) <= 2
+
+
+def test_crawl_schedule_deterministic_under_repartition(spark):
+    from edspdf_spark.operators.urls import crawl_schedule
+    urls = [(f"https://h{i % 5}.com/p/{i}",) for i in range(50)]
+    a = spark.createDataFrame(urls, "url string")
+    b = a.repartition(7)
+    ra = sorted(map(tuple, crawl_schedule(a).collect()))
+    rb = sorted(map(tuple, crawl_schedule(b).collect()))
+    assert ra == rb
