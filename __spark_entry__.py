@@ -2946,6 +2946,15 @@ FROM l
 """
 
 
+def q_complexity_signals(spark, sf_dir):
+    """Rows-only by nature: DEFLATE length is not SQL-expressible
+    (the bloc_transformer precedent); kernel goldens carry the value
+    checks."""
+    from edspdf_spark.operators.analysis import complexity_signals
+
+    return complexity_signals(_docs(spark, sf_dir))
+
+
 def q_crawl_schedule(spark, sf_dir):
     from edspdf_spark.operators.urls import crawl_schedule
 
@@ -3122,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "dedup_keep_best": q_dedup_keep_best,
         "crawl_schedule": q_crawl_schedule,
+        "complexity_signals": q_complexity_signals,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3774,12 +3784,14 @@ FROM r WHERE rk <= 5
 
 
 def oracle_sql() -> dict[str, str]:
-    """One query is absent here by nature: bloc_transformer
-    (attention/softmax is not SQL-expressible) — the driver records a
-    rows-only check for it. Everything else, including the full
-    PDF/HTML parse pipelines and the multimodal metadata columns
-    (closed-form from the deterministic payload recipe), carries an
-    exact oracle."""
+    """Two queries are absent here by nature: bloc_transformer
+    (attention/softmax is not SQL-expressible) and complexity_signals
+    (DEFLATE length is not SQL-expressible) — the driver records
+    rows-only checks for them; both carry kernel/structural pytest
+    coverage instead. Everything else, including the full PDF/HTML
+    parse pipelines and the multimodal metadata columns (closed-form
+    from the deterministic payload recipe), carries an exact
+    oracle."""
     out = dict(_ORACLES)
     out["host_pagerank"] = _pagerank_oracle()
     out["paragraph_classify"] = _paragraph_oracle()
