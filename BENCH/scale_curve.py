@@ -49,7 +49,7 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "bloom_filter", "chunk_windows", "tfidf_top_terms",
            "paragraph_classify", "snapshot_diff", "fix_mojibake",
            "containment_pairs", "registered_domain", "html_meta",
-           "dedup_keep_best", "crawl_schedule"]
+           "dedup_keep_best", "crawl_schedule", "complexity_signals"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
