@@ -2946,6 +2946,133 @@ FROM l
 """
 
 
+# deterministic robots corpus: '*' group with allow-override, an
+# agent-specific group on odd hosts, a wildcard rule (subset-skipped)
+# on doc_id%4==1, and an inapplicable-agent-only file on doc_id%5==3
+_ROBOTS_TXT_SQL = """
+CASE WHEN doc_id % 5 = 3
+     THEN 'User-agent: other' || chr(10) || 'Disallow: /'
+     ELSE '# policy' || chr(10)
+       || 'User-agent: *' || chr(10)
+       || 'Disallow: /private/' || chr(10)
+       || 'Allow: /private/pub/' || chr(10)
+       || 'Crawl-delay: 5'
+       || CASE WHEN doc_id % 2 = 1
+               THEN chr(10) || 'User-agent: spark-graft' || chr(10)
+                 || 'Disallow: /tmp/'
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 1
+               THEN chr(10) || 'Disallow: /x*y'
+               ELSE '' END
+END
+"""
+
+_ROBOTS_URL_SQL = """
+'https://h' || CAST(doc_id % 10 AS VARCHAR(4)) || '.example.com' ||
+CASE doc_id % 6
+  WHEN 0 THEN '/'
+  WHEN 1 THEN '/private/x'
+  WHEN 2 THEN '/private/pub/y'
+  WHEN 3 THEN '/tmp/z'
+  WHEN 4 THEN '/open/' || CAST(doc_id AS VARCHAR(12))
+  ELSE '' END
+"""
+
+
+def q_robots_filter(spark, sf_dir):
+    from edspdf_spark.operators.robots import (robots_rules,
+                                               robots_verdicts)
+
+    robots = _docs(spark, sf_dir).where("doc_id < 10").selectExpr(
+        "'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host",
+        f"{_ROBOTS_TXT_SQL} AS robots_txt")
+    rules = robots_rules(robots, agent="spark-graft")
+    frontier = _docs(spark, sf_dir).selectExpr(
+        f"{_ROBOTS_URL_SQL} AS url")
+    return robots_verdicts(frontier, rules)
+
+
+_ROBOTS_ORACLE = """
+WITH robots AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host,
+         {txt} AS robots_txt
+  FROM documents WHERE doc_id < 10),
+lx AS (
+  SELECT host, u.idx AS idx, trim(u.raw) AS l0 FROM (
+    SELECT host, unnest(list_transform(
+        generate_series(1, len(string_split(
+            replace(robots_txt, chr(13), ''), chr(10)))),
+        i -> {{'idx': i - 1,
+               'raw': string_split(replace(robots_txt, chr(13), ''),
+                                   chr(10))[i]}})) AS u
+    FROM robots)),
+cl AS (
+  SELECT host, idx,
+         trim(CASE WHEN strpos(l0, '#') > 0
+                   THEN substr(l0, 1, strpos(l0, '#') - 1)
+                   ELSE l0 END) AS line
+  FROM lx),
+parsed AS (
+  SELECT host, idx, line,
+         lower(trim(split_part(line, ':', 1))) AS directive,
+         CASE WHEN strpos(line, ':') > 0
+              THEN trim(substr(line, strpos(line, ':') + 1))
+              ELSE '' END AS value
+  FROM cl WHERE line <> ''),
+flags AS (
+  SELECT *,
+         CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+  FROM parsed),
+prevs AS (
+  SELECT *,
+         coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY idx), 0)
+           AS prev_ua
+  FROM flags),
+grp AS (
+  SELECT *,
+         sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS group_id
+  FROM prevs),
+uas AS (
+  SELECT host, group_id,
+         bool_or(lower(value) = 'spark-graft' OR value = '*')
+           AS applies
+  FROM grp WHERE is_ua = 1 GROUP BY host, group_id),
+rules AS (
+  SELECT g.host, g.directive = 'allow' AS is_allow,
+         g.value AS rule_path,
+         CAST(length(g.value) AS BIGINT) AS plen
+  FROM grp g JOIN uas u ON g.host = u.host AND g.group_id = u.group_id
+  WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''
+    AND strpos(g.value, '*') = 0 AND strpos(g.value, '$') = 0
+    AND u.applies),
+frontier AS (SELECT {url} AS url FROM documents),
+base AS (
+  SELECT url,
+         lower(split_part(split_part(url, '//', 2), '/', 1)) AS host,
+         CASE WHEN strpos(split_part(url, '//', 2), '/') > 0
+              THEN substr(split_part(url, '//', 2),
+                          strpos(split_part(url, '//', 2), '/'))
+              ELSE '/' END AS path
+  FROM frontier),
+hits AS (
+  SELECT b.url, b.host, b.path, r.is_allow, r.plen,
+         row_number() OVER (PARTITION BY b.url, b.host, b.path
+                            ORDER BY r.plen DESC, r.is_allow DESC)
+           AS rn
+  FROM base b JOIN rules r
+    ON b.host = r.host AND starts_with(b.path, r.rule_path))
+SELECT DISTINCT b.url, b.host, b.path,
+       coalesce(h.is_allow, TRUE) AS allowed,
+       coalesce(h.plen, 0) AS match_len
+FROM base b
+LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+  ON b.url = h.url
+"""
+
+
 def q_complexity_signals(spark, sf_dir):
     """Rows-only by nature: DEFLATE length is not SQL-expressible
     (the bloc_transformer precedent); kernel goldens carry the value
@@ -3132,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "crawl_schedule": q_crawl_schedule,
         "complexity_signals": q_complexity_signals,
+        "robots_filter": q_robots_filter,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3799,6 +3927,8 @@ def oracle_sql() -> dict[str, str]:
     out["registered_domain"] = _regdom_oracle()
     out["html_meta"] = _META_ORACLE.format(html=_META_HTML_SQL)
     out["crawl_schedule"] = _CRAWL_SCHEDULE_ORACLE
+    out["robots_filter"] = _ROBOTS_ORACLE.format(txt=_ROBOTS_TXT_SQL,
+                                                 url=_ROBOTS_URL_SQL)
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -1,0 +1,117 @@
+"""robots.txt evaluation for crawl frontiers: parse per-host robots
+files into applicable allow/disallow rules, then verdict every
+frontier URL by the longest-matching-rule standard (RFC 9309: most
+specific path wins; on a length tie, allow wins; no rule -> allowed).
+
+Subset contract (documented, mirrored exactly by the oracle): prefix
+rules only — the `*` wildcard and `$` anchor extensions are not
+interpreted (their rules are skipped); group matching recognizes the
+literal agent token and `*`; directives are matched case-insensitively;
+values are taken verbatim to end-of-line (after stripping CR and
+inline spaces).
+
+Scale shape: robots files are one small row per host — the entire
+parse (split/explode + two running-sum windows partitioned by host) is
+tiny next to the frontier. The frontier joins the applicable-rule
+table on host (broadcast when the rule table fits — the common case:
+rules ~ hosts x a few lines) and the verdict is a struct-max partial
+aggregate per URL, never a window over the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+
+def robots_rules(robots: DataFrame, agent: str = "spark-graft",
+                 host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, is_allow, path, plen): the rules
+    of every group whose user-agent line matches `agent` or '*'.
+
+    Group semantics per RFC 9309 §2.2.1: a group is one or more
+    consecutive User-agent lines followed by rules; a rule line
+    belongs to the nearest preceding group. Implemented with two
+    per-host running windows (new-group detection, then group-id
+    inheritance) — pure codegen, no Python."""
+    agent = agent.lower()
+    lines = (robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.replace(F.col(text_col),
+                                       F.lit("\r"), F.lit("")), "\n"))
+        .alias("idx", "raw"))
+        .withColumn("l0", F.trim(F.col("raw"))))
+    # strip comments (everything from '#'), then re-trim
+    line = F.trim(F.when(
+        F.instr(F.col("l0"), "#") > 0,
+        F.expr("substring(l0, 1, instr(l0, '#') - 1)"))
+        .otherwise(F.col("l0")))
+    parsed = (lines.select("host", "idx", line.alias("line"))
+              .withColumn("directive",
+                          F.lower(F.trim(F.substring_index(
+                              F.col("line"), ":", 1))))
+              .withColumn("value",
+                          F.when(F.instr(F.col("line"), ":") > 0,
+                                 F.trim(F.expr(
+                                     "substring(line, "
+                                     "instr(line, ':') + 1)")))
+                          .otherwise(F.lit("")))
+              .where(F.col("line") != ""))
+    is_ua = F.col("directive") == "user-agent"
+    w = Window.partitionBy("host").orderBy("idx")
+    prev_ua = F.lag(is_ua.cast("int"), 1, 0).over(w)
+    new_group = (is_ua & (prev_ua == 0)).cast("int")
+    grouped = parsed.withColumn(
+        "group_id", F.sum(new_group).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    uas = (grouped.where(is_ua)
+           .groupBy("host", "group_id")
+           .agg(F.max((F.lower(F.col("value")) == agent) |
+                      (F.col("value") == "*")).alias("applies")))
+    rules = (grouped
+             .where(F.col("directive").isin("allow", "disallow"))
+             .where(F.col("value") != "")            # empty = no rule
+             .where(~F.col("value").contains("*") &
+                    ~F.col("value").contains("$"))   # subset contract
+             .join(uas, ["host", "group_id"])
+             .where(F.col("applies")))
+    return rules.select(
+        "host", (F.col("directive") == "allow").alias("is_allow"),
+        F.col("value").alias("path"),
+        F.length("value").cast("bigint").alias("plen"))
+
+
+def robots_verdicts(frontier: DataFrame, rules: DataFrame,
+                    url_col: str = "url",
+                    broadcast_rules: bool = True) -> DataFrame:
+    """frontier(url, ...) -> (url, host, path, allowed, match_len):
+    longest matching applicable rule decides (allow wins ties); no
+    matching rule -> allowed. One host join + one struct-max groupBy."""
+    host = F.lower(F.split_part(F.split_part(F.col(url_col),
+                                             F.lit("//"), F.lit(2)),
+                                F.lit("/"), F.lit(1)))
+    base = frontier.select(
+        F.col(url_col).alias("url"), host.alias("host"),
+        F.when(F.instr(F.split_part(F.col(url_col), F.lit("//"),
+                                    F.lit(2)), "/") > 0,
+               F.expr(f"substring(split_part({url_col}, '//', 2), "
+                      f"instr(split_part({url_col}, '//', 2), '/'))"))
+        .otherwise(F.lit("/")).alias("path"))
+    r = rules.select("host", "is_allow",
+                     F.col("path").alias("rule_path"), "plen")
+    if broadcast_rules:
+        r = F.broadcast(r)
+    j = (base.join(r, "host", "left")
+         .withColumn("hit", F.col("rule_path").isNotNull() &
+                     F.col("path").startswith(F.col("rule_path"))))
+    agg = (j.groupBy("url", "host", "path")
+           .agg(F.max(F.when(F.col("hit"),
+                             F.struct(F.col("plen").alias("l"),
+                                      F.col("is_allow").alias("a"))))
+                .alias("best")))
+    return agg.select(
+        "url", "host", "path",
+        F.coalesce(F.col("best.a"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("best.l"), F.lit(0).cast("bigint"))
+        .alias("match_len"))

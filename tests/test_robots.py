@@ -1,0 +1,101 @@
+"""robots.txt engine (operators/robots.py): group semantics, comment
+handling, subset skips, longest-match verdicts, plan pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.operators.robots import robots_rules, robots_verdicts
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rules(spark, txt, agent="bot"):
+    df = spark.createDataFrame([("h.com", txt)],
+                               "host string, robots_txt string")
+    return sorted((r.is_allow, r.path)
+                  for r in robots_rules(df, agent=agent).collect())
+
+
+def test_star_group_and_unknown_directives(spark):
+    txt = ("# top comment\n"
+           "User-agent: *\n"
+           "Disallow: /a   # trailing comment\n"
+           "Crawl-delay: 5\n"
+           "Allow: /a/b\n")
+    assert _rules(spark, txt) == [(False, "/a"), (True, "/a/b")]
+
+
+def test_consecutive_ua_lines_share_one_group(spark):
+    txt = ("User-agent: other\n"
+           "User-agent: bot\n"
+           "Disallow: /x\n"
+           "User-agent: nobody\n"
+           "Disallow: /y\n")
+    # first group lists bot -> /x applies; second group doesn't -> /y out
+    assert _rules(spark, txt) == [(False, "/x")]
+
+
+def test_agent_match_case_insensitive_star_fallback(spark):
+    txt = "User-Agent: BoT\nDisallow: /p\n"
+    assert _rules(spark, txt) == [(False, "/p")]
+    assert _rules(spark, txt, agent="somebody-else") == []
+
+
+def test_wildcard_and_empty_rules_skipped(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /x*y\n"
+           "Disallow: /end$\n"
+           "Disallow:\n"
+           "Disallow: /real\n")
+    assert _rules(spark, txt) == [(False, "/real")]
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private/\n"
+                   "Allow: /private/pub/\nDisallow: /private/pub/x\n")],
+        "host string, robots_txt string")
+    rules = robots_rules(robots, agent="bot")
+    urls = ["https://h.com/", "https://h.com/private/secret",
+            "https://h.com/private/pub/ok",
+            "https://h.com/private/pub/x",   # longer disallow wins
+            "https://other.com/anything",    # no rules -> allowed
+            "https://h.com"]                 # no path -> '/'
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r.url: r for r in robots_verdicts(frontier, rules).collect()}
+
+
+def test_longest_match_verdicts(verdicts):
+    v = verdicts
+    assert v["https://h.com/"].allowed
+    assert not v["https://h.com/private/secret"].allowed
+    assert v["https://h.com/private/pub/ok"].allowed        # allow override
+    assert not v["https://h.com/private/pub/x"].allowed     # longest rule
+    assert v["https://h.com/private/pub/x"].match_len == 14
+    assert v["https://other.com/anything"].allowed
+    assert v["https://other.com/anything"].match_len == 0
+    assert v["https://h.com"].path == "/" and v["https://h.com"].allowed
+
+
+def test_allow_wins_length_tie(spark):
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /p/\nAllow: /p/\n")],
+        "host string, robots_txt string")
+    rules = robots_rules(robots)
+    frontier = spark.createDataFrame([("https://h.com/p/q",)],
+                                     "url string")
+    assert robots_verdicts(frontier, rules).collect()[0].allowed
+
+
+def test_verdict_plan_broadcasts_rules(spark):
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /a\n")],
+        "host string, robots_txt string")
+    frontier = spark.createDataFrame([("https://h.com/a",)],
+                                     "url string")
+    plan = _plan(robots_verdicts(frontier, robots_rules(robots)))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
