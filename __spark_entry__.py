@@ -3073,6 +3073,38 @@ LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
 """
 
 
+def q_stream_band_dedup(spark, sf_dir):
+    """Batch form of the streaming band-claim near-dup (deterministic
+    min-url claimant): certifies the streaming operator's per-row
+    minhash/band key math against the independent SQL derivation."""
+    from edspdf_spark.streaming.stateful import near_dup_bands_batch
+
+    corpus = _corpus_near(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text")
+    return near_dup_bands_batch(corpus)
+
+
+def _stream_band_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, '{i}:' || CAST(h{2 * i} AS VARCHAR) || ':' || "
+        f"CAST(h{2 * i + 1} AS VARCHAR) AS band_key FROM sigs"
+        for i in range(4))
+    return (SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+            + ", " + _minhash_sql(8)
+            + f""",
+bands AS ({band_selects}),
+claims AS (SELECT band_key, min(CAST(id AS VARCHAR)) AS claimant
+           FROM bands GROUP BY band_key)
+SELECT CAST(b.id AS VARCHAR) AS url,
+       CAST(count(*) AS BIGINT) AS n_bands,
+       bool_or(c.claimant <> CAST(b.id AS VARCHAR)) AS near_dup,
+       min(CASE WHEN c.claimant <> CAST(b.id AS VARCHAR)
+                THEN c.claimant END) AS matched_url
+FROM bands b JOIN claims c USING (band_key)
+GROUP BY b.id
+""")
+
+
 def q_complexity_signals(spark, sf_dir):
     """Rows-only by nature: DEFLATE length is not SQL-expressible
     (the bloc_transformer precedent); kernel goldens carry the value
@@ -3260,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "complexity_signals": q_complexity_signals,
         "robots_filter": q_robots_filter,
+        "stream_band_dedup": q_stream_band_dedup,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3929,6 +3962,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_schedule"] = _CRAWL_SCHEDULE_ORACLE
     out["robots_filter"] = _ROBOTS_ORACLE.format(txt=_ROBOTS_TXT_SQL,
                                                  url=_ROBOTS_URL_SQL)
+    out["stream_band_dedup"] = _stream_band_oracle()
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -119,7 +119,8 @@ def main() -> None:
                 "tfidf_top_terms", "paragraph_classify", "anchor_terms",
                 "snapshot_diff", "fix_mojibake", "containment_pairs",
                 "registered_domain", "html_meta", "dedup_keep_best",
-                "crawl_schedule", "complexity_signals", "robots_filter"]
+                "crawl_schedule", "complexity_signals", "robots_filter",
+                "stream_band_dedup"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

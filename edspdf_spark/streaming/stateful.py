@@ -94,3 +94,139 @@ def run_first_seen_stream(spark, input_dir: str, output_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+# --- streaming near-dup: per-band first-seen state -------------------------
+
+BAND_OUT_SCHEMA = ("band_key string, url string, first_seen boolean, "
+                   "prior_url string")
+BAND_STATE_SCHEMA = "first_url string"
+
+
+def row_minhash_bands(docs: DataFrame, url_col: str = "url",
+                      text_col: str = "text", k: int = 3,
+                      n_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """Per-ROW minhash signature (array math, no aggregation — legal
+    on a stream) exploded to (band_key, url) rows. Same shingle
+    codes, hash family and banding as the batch LSH
+    (operators/dedup.py), so streaming band keys are comparable to a
+    batch-built index. Docs with fewer than k tokens emit no rows."""
+    from ..functions import CODE_MOD, MINHASH_AB, word_shingles
+
+    assert n_hashes % band_size == 0
+    sh = word_shingles(F.col(text_col), k)
+    codes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint"))
+    def _minexpr(a, b):
+        # single-arg closure: extra default args would be miscounted
+        # as higher-order-function lambda parameters
+        return lambda c: (F.lit(a) * (c % CODE_MOD) + F.lit(b)) % CODE_MOD
+
+    hs = [F.array_min(F.transform(codes, _minexpr(a, b)))
+          for a, b in MINHASH_AB[:n_hashes]]
+    bands = [hs[i:i + band_size] for i in range(0, n_hashes, band_size)]
+    keys = F.array(*[
+        F.concat_ws(":", F.lit(str(i)),
+                    *[h.cast("string") for h in band])
+        for i, band in enumerate(bands)])
+    return (docs.select(F.col(url_col).alias("url"),
+                        F.size(sh).alias("_n"),
+                        F.explode(keys).alias("band_key"))
+            .where(F.col("_n") > 0)
+            .select("band_key", "url"))
+
+
+def _band_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+    (band_key,) = key
+    first_url = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        for url in pdf["url"].tolist():
+            if first_url is None:
+                first_url = url
+                out.append((band_key, url, True, None))
+            else:
+                out.append((band_key, url, False, first_url))
+    state.update((first_url,))
+    yield pd.DataFrame(out, columns=["band_key", "url", "first_seen",
+                                     "prior_url"])
+
+
+def streaming_near_dup_bands(docs: DataFrame, url_col: str = "url",
+                             text_col: str = "text", k: int = 3,
+                             n_hashes: int = 8,
+                             band_size: int = 2) -> DataFrame:
+    """Streaming docs -> per-band first-seen rows: a band that was
+    already claimed (this batch or ANY earlier batch — state is
+    checkpointed) emits first_seen=false with the claiming url, which
+    is exactly the LSH candidate relation arriving incrementally.
+
+    Scale shape: state = one tiny tuple per distinct band, hash-
+    sharded across executors by the state store — the streaming
+    equivalent of the batch band-join shuffle. Doc-level verdicts are
+    a stateless rollup over the sink (band_near_dup_rollup):
+    Structured Streaming disallows chaining a second stateful stage
+    in append mode, and the sink rollup is the standard lambda shape.
+    """
+    bands = row_minhash_bands(docs, url_col, text_col, k, n_hashes,
+                              band_size)
+    return (bands.groupBy("band_key")
+            .applyInPandasWithState(
+                _band_fn, outputStructType=BAND_OUT_SCHEMA,
+                stateStructType=BAND_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def band_near_dup_rollup(band_rows: DataFrame) -> DataFrame:
+    """Batch rollup over the band sink: (url, n_bands, near_dup,
+    matched_url) — near_dup iff ANY band was previously claimed."""
+    hit = (~F.col("first_seen")).cast("int")
+    return (band_rows.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_bands"),
+                 (F.max(hit) == 1).alias("near_dup"),
+                 F.min(F.when(~F.col("first_seen"),
+                              F.col("prior_url")))
+                 .alias("matched_url")))
+
+
+def run_near_dup_stream(spark, input_dir: str, output_dir: str,
+                        checkpoint_dir: str, schema, **kw):
+    """File-stream driver: readStream -> stateful band claims ->
+    append parquet with exactly-once checkpointing."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    out = streaming_near_dup_bands(src, **kw)
+    return (out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def near_dup_bands_batch(docs: DataFrame, url_col: str = "url",
+                         text_col: str = "text", k: int = 3,
+                         n_hashes: int = 8,
+                         band_size: int = 2) -> DataFrame:
+    """Batch form of the band-claim semantics with a DETERMINISTIC
+    claimant (min url per band — arrival order in a batch is
+    partition-dependent, so the streaming operator's first-wins rule
+    is replaced by an order-free one). Exactly the LSH candidate
+    relation as doc verdicts: (url, n_bands, near_dup, matched_url).
+    This is also the oracle surface certifying that the streaming
+    band keys carry the same minhash math as the batch dedup path."""
+    bands = row_minhash_bands(docs, url_col, text_col, k, n_hashes,
+                              band_size)
+    claims = bands.groupBy("band_key").agg(
+        F.min("url").alias("claimant"))
+    j = bands.join(claims, "band_key")
+    hit = (F.col("claimant") != F.col("url")).cast("int")
+    return (j.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_bands"),
+                 (F.max(hit) == 1).alias("near_dup"),
+                 F.min(F.when(F.col("claimant") != F.col("url"),
+                              F.col("claimant")))
+                 .alias("matched_url")))

@@ -78,3 +78,69 @@ def test_first_seen_across_batches_and_restart(spark, tmp_path):
     new = got2[~got2["content_md5"].isin(got1["content_md5"])]
     assert list(new["url"]) == ["u6"]
     assert bool(new["first_seen"].iloc[0])
+
+
+# --- streaming near-dup (per-band state) -----------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_row_bands_match_batch_lsh(spark):
+    """Streaming per-row band keys carry the same minhash values as
+    the batch signature path for identical text."""
+    from edspdf_spark.operators.dedup import (minhash_signatures,
+                                              shingle_table)
+    from edspdf_spark.streaming.stateful import row_minhash_bands
+
+    corpus = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string")
+    sig = minhash_signatures(shingle_table(corpus, k=3),
+                             n_hashes=8).collect()[0]
+    got = sorted(r.band_key for r in row_minhash_bands(
+        _docs(spark, [("u", "w1 w2 w3 w4 w5 w6 w7 w8")]),
+        k=3, n_hashes=8, band_size=2).collect())
+    want = sorted(f"{i}:{sig[f'h{2*i}']}:{sig[f'h{2*i+1}']}"
+                  for i in range(4))
+    assert got == want
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    from edspdf_spark.streaming.stateful import (band_near_dup_rollup,
+                                                 run_near_dup_stream)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+
+    b1 = _docs(spark, [("u1", base), ("u2", "totally different words "
+                                            "one two three four")])
+    b1.write.mode("append").parquet(in_dir)
+    q = run_near_dup_stream(spark, in_dir, out_dir, ck,
+                            spark.read.parquet(in_dir).schema)
+    q.awaitTermination(120)
+    got1 = {r.url: r for r in band_near_dup_rollup(
+        spark.read.parquet(out_dir)).collect()}
+    assert not got1["u1"].near_dup and not got1["u2"].near_dup
+
+    # batch 2 after restart: u3 = u1's text with one word changed at
+    # the END (shares leading bands); u4 unrelated
+    b2 = _docs(spark, [("u3", base.rsplit(" ", 1)[0] + " CHANGED"),
+                       ("u4", "another unrelated document body here")])
+    b2.write.mode("append").parquet(in_dir)
+    q2 = run_near_dup_stream(spark, in_dir, out_dir, ck,
+                             spark.read.parquet(in_dir).schema)
+    q2.awaitTermination(120)
+    got2 = {r.url: r for r in band_near_dup_rollup(
+        spark.read.parquet(out_dir)).collect()}
+    assert got2["u3"].near_dup and got2["u3"].matched_url == "u1"
+    assert not got2["u4"].near_dup
+    # earlier verdicts unchanged
+    assert not got2["u1"].near_dup and not got2["u2"].near_dup
+
+
+def test_streaming_short_docs_emit_nothing(spark):
+    from edspdf_spark.streaming.stateful import row_minhash_bands
+    assert row_minhash_bands(
+        _docs(spark, [("u", "one two")]), k=3).count() == 0
