@@ -3073,6 +3073,92 @@ LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
 """
 
 
+# formatting-mirror corpus: every 6th doc re-appears uppercased with
+# NBSP word gaps and trailing spaces — raw-byte dedup misses it, the
+# normalized code must collapse it (the literal below contains a real
+# U+00A0, legal in both engines' string literals)
+_NORM_MIRROR_SQL = """
+  (SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 4000000 AS doc_id,
+          upper(replace(text, ' ', ' ')) || '  ' AS text
+   FROM documents WHERE doc_id % 6 = 0)
+"""
+
+
+def q_normalized_dedup(spark, sf_dir):
+    from edspdf_spark.operators.analysis import normalize_text
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mirror = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.expr("upper(replace(text, ' ', ' ')) || '  '")
+        .alias("text"))
+    corpus = d.unionByName(mirror)
+    norm = normalize_text(corpus)
+    raw = corpus.select(F.col("doc_id").alias("id"),
+                        F.md5("text").alias("raw_md5"))
+    return (norm.join(raw, "id")
+            .groupBy("norm_code")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("id").alias("keep_id"),
+                 F.countDistinct("raw_md5").alias("n_raw_variants")))
+
+
+def _normalized_dedup_oracle() -> str:
+    from edspdf_spark.operators.analysis import PUNCT_FOLD_MAP
+
+    cur = "lower(text)"
+    for bad, good in PUNCT_FOLD_MAP:
+        g = good.replace("'", "''")
+        b = bad.replace("'", "''")
+        cur = f"replace({cur}, '{b}', '{g}')"
+    cur = f"trim(regexp_replace({cur}, ' +', ' ', 'g'))"
+    return f"""
+WITH corpus AS (SELECT * FROM {_NORM_MIRROR_SQL} t),
+n AS (SELECT doc_id AS id, md5(text) AS raw_md5,
+             ('0x' || substr(md5({cur}), 1, 15))::BIGINT AS norm_code
+      FROM corpus)
+SELECT norm_code, CAST(count(*) AS BIGINT) AS n_docs,
+       min(id) AS keep_id,
+       CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_raw_variants
+FROM n GROUP BY norm_code
+"""
+
+
+def q_domain_top_terms(spark, sf_dir):
+    from edspdf_spark.operators.analysis import domain_top_terms
+
+    return domain_top_terms(_docs(spark, sf_dir), top_k=5)
+
+
+_DOMAIN_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS term
+  FROM documents),
+tf AS (SELECT domain, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY domain, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+      FROM tf),
+scored AS (
+  SELECT tf.domain, tf.term, tf.tf, d.df,
+         tf.tf * (length(bin(((SELECT n_domains FROM n) * 1048576)
+                             // d.df)) - 1) AS score_scaled
+  FROM tf JOIN dfreq d USING (term)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY domain
+        ORDER BY score_scaled DESC, tf DESC, term ASC) AS rk
+      FROM scored)
+SELECT domain, term, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+"""
+
+
 def q_stream_band_dedup(spark, sf_dir):
     """Batch form of the streaming band-claim near-dup (deterministic
     min-url claimant): certifies the streaming operator's per-row
@@ -3293,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity_signals": q_complexity_signals,
         "robots_filter": q_robots_filter,
         "stream_band_dedup": q_stream_band_dedup,
+        "normalized_dedup": q_normalized_dedup,
+        "domain_top_terms": q_domain_top_terms,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3963,6 +4051,8 @@ def oracle_sql() -> dict[str, str]:
     out["robots_filter"] = _ROBOTS_ORACLE.format(txt=_ROBOTS_TXT_SQL,
                                                  url=_ROBOTS_URL_SQL)
     out["stream_band_dedup"] = _stream_band_oracle()
+    out["normalized_dedup"] = _normalized_dedup_oracle()
+    out["domain_top_terms"] = _DOMAIN_TERMS_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

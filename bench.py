@@ -120,7 +120,8 @@ def main() -> None:
                 "snapshot_diff", "fix_mojibake", "containment_pairs",
                 "registered_domain", "html_meta", "dedup_keep_best",
                 "crawl_schedule", "complexity_signals", "robots_filter",
-                "stream_band_dedup"]
+                "stream_band_dedup", "normalized_dedup",
+                "domain_top_terms"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -1316,3 +1316,65 @@ def complexity_signals(df: DataFrame, id_col: str = "doc_id",
     width = df.sparkSession.sparkContext.defaultParallelism
     return (df.select(id_col, text_col).repartition(width)
             .mapInArrow(fn, schema=out_schema))
+
+
+# --- text normalization (dedup canonicalization) ---------------------------
+
+# typographic folds: smart quotes, dashes, ellipsis, nbsp, tab. The
+# canonical form for formatting-insensitive dedup — distinct from
+# MOJIBAKE_MAP, which repairs *damage*; these are legitimate glyphs
+# folded to ASCII so reformatted mirrors collide.
+PUNCT_FOLD_MAP = [
+    ("’", "'"), ("‘", "'"), ("“", '"'), ("”", '"'),
+    ("–", "-"), ("—", "-"), ("…", "..."),
+    (" ", " "), ("\t", " "),
+]
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, text_norm, norm_code): lowercase, fold typographic
+    punctuation, collapse space runs, trim — then the md5-prefix code
+    of the canonical form, the join key for formatting-insensitive
+    exact dedup. Pure codegen; the ' +' regex is dialect-safe (no
+    classes, no anchors)."""
+    cur = F.col(text_col)
+    for bad, good in PUNCT_FOLD_MAP:
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    cur = F.trim(F.regexp_replace(F.lower(cur), " +", " "))
+    return df.select(F.col(id_col).alias("id"),
+                     cur.alias("text_norm"),
+                     code15(cur).alias("norm_code"))
+
+
+def domain_top_terms(df: DataFrame, domain_col: str = "source",
+                     text_col: str = "text",
+                     top_k: int = 5) -> DataFrame:
+    """Domain-distinctive terms: TF-IDF at the domain granularity —
+    tf = term occurrences within the domain, idf from the number of
+    DOMAINS containing the term. The corpus-curation use: one glance
+    at what a domain actually contains (and a drift check between
+    snapshots). Same integer-quantized idf and shuffle shape as
+    tfidf_top_terms, with domains as the documents."""
+    toks = tokens(F.col(text_col))
+    tf = (df.select(F.col(domain_col).alias("domain"),
+                    F.explode(toks).alias("term"))
+          .groupBy("domain", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_dom = tf.select("domain").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_domains"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(n_dom))
+              .select("domain", "term", "tf", "df",
+                      (F.col("tf") *
+                       (F.length(F.bin(F.expr(
+                           f"(n_domains * {TFIDF_IDF_SCALE}L) div df")))
+                        - 1).cast("bigint")).alias("score_scaled")))
+    from pyspark.sql import Window
+    wnd = (Window.partitionBy("domain")
+           .orderBy(F.desc("score_scaled"), F.desc("tf"),
+                    F.asc("term")))
+    return (scored.withColumn("rk", F.row_number().over(wnd)
+                              .cast("bigint"))
+            .where(F.col("rk") <= top_k))

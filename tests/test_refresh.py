@@ -66,3 +66,38 @@ def test_mojibake_plan_pure_codegen(spark):
     plan = _plan(fix_mojibake(df))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan, plan
+
+
+# --- normalize_text / domain_top_terms -------------------------------------
+
+def test_normalize_folds_and_collapses(spark):
+    from edspdf_spark.operators.analysis import normalize_text
+    df = spark.createDataFrame(
+        [(0, "It’s “Fine” – really…  ok then "),
+         (1, "it's \"fine\" - really... ok then")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in normalize_text(df).collect()}
+    assert rows[0].text_norm == "it's \"fine\" - really... ok then"
+    assert rows[0].text_norm == rows[1].text_norm
+    assert rows[0].norm_code == rows[1].norm_code
+
+
+def test_normalize_plan_zero_shuffle(spark):
+    from edspdf_spark.operators.analysis import normalize_text
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = normalize_text(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_domain_top_terms_distinctive(spark):
+    from edspdf_spark.operators.analysis import domain_top_terms
+    df = spark.createDataFrame(
+        [(1, "cooking", "recipe soup recipe bread shared"),
+         (2, "cooking", "recipe cake shared"),
+         (3, "sports", "goal match goal shared"),
+         (4, "sports", "match referee shared")],
+        "doc_id long, source string, text string")
+    top1 = {r.domain: r.term
+            for r in domain_top_terms(df, top_k=1).collect()}
+    assert top1 == {"cooking": "recipe", "sports": "goal"}
