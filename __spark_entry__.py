@@ -3159,6 +3159,96 @@ FROM r WHERE rk <= 5
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    from edspdf_spark.operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+_INVERTED_INDEX_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+px AS (
+  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(t)),
+        i -> {'pos': i - 1, 'term': t[i]})) AS u
+    FROM tk)),
+post AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         array_to_string(array_agg(pos ORDER BY pos), ',') AS positions
+  FROM px GROUP BY term, doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM post GROUP BY term)
+SELECT p.term, p.doc_id, p.tf, p.positions, d.df
+FROM post p JOIN dfreq d USING (term)
+"""
+
+
+def q_cooc_pmi(spark, sf_dir):
+    from edspdf_spark.operators.index import cooc_pairs
+
+    return cooc_pairs(_docs(spark, sf_dir), window=2, min_count=5)
+
+
+_COOC_ORACLE = """
+WITH tk AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+p1 AS (
+  SELECT unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 0)),
+      i -> {'a': t[i], 'b': t[i + 1]})) AS p
+  FROM tk),
+p2 AS (
+  SELECT unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 0)),
+      i -> {'a': t[i], 'b': t[i + 2]})) AS p
+  FROM tk),
+pairs AS (SELECT p.a AS a, p.b AS b FROM p1
+          UNION ALL SELECT p.a, p.b FROM p2),
+cp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_pair
+       FROM pairs GROUP BY a, b),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM pairs),
+ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok)
+SELECT cp.a, cp.b, cp.c_pair, ca.c AS c_a, cb.c AS c_b,
+       CAST((length(bin(cp.c_pair)) - 1)
+            + (length(bin((SELECT total FROM tot))) - 1)
+            - (length(bin(ca.c)) - 1)
+            - (length(bin(cb.c)) - 1) AS BIGINT) AS pmi_ilog2
+FROM cp
+JOIN ct ca ON cp.a = ca.tok
+JOIN ct cb ON cp.b = cb.tok
+WHERE cp.c_pair >= 5
+"""
+
+
+def q_dataset_card(spark, sf_dir):
+    from edspdf_spark.operators.analysis import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
+_DATASET_CARD_ORACLE = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_domains,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+  FROM documents)
+SELECT *,
+       (1000 * (n_docs - n_distinct_texts)) // n_docs AS dup_milli,
+       CAST(n_tokens AS DOUBLE) / n_docs AS avg_tokens
+FROM a
+"""
+
+
 def q_stream_band_dedup(spark, sf_dir):
     """Batch form of the streaming band-claim near-dup (deterministic
     min-url claimant): certifies the streaming operator's per-row
@@ -3381,6 +3471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_band_dedup": q_stream_band_dedup,
         "normalized_dedup": q_normalized_dedup,
         "domain_top_terms": q_domain_top_terms,
+        "inverted_index": q_inverted_index,
+        "cooc_pmi": q_cooc_pmi,
+        "dataset_card": q_dataset_card,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -4053,6 +4146,9 @@ def oracle_sql() -> dict[str, str]:
     out["stream_band_dedup"] = _stream_band_oracle()
     out["normalized_dedup"] = _normalized_dedup_oracle()
     out["domain_top_terms"] = _DOMAIN_TERMS_ORACLE
+    out["inverted_index"] = _INVERTED_INDEX_ORACLE
+    out["cooc_pmi"] = _COOC_ORACLE
+    out["dataset_card"] = _DATASET_CARD_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -121,7 +121,8 @@ def main() -> None:
                 "registered_domain", "html_meta", "dedup_keep_best",
                 "crawl_schedule", "complexity_signals", "robots_filter",
                 "stream_band_dedup", "normalized_dedup",
-                "domain_top_terms"]
+                "domain_top_terms", "inverted_index", "cooc_pmi",
+                "dataset_card"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

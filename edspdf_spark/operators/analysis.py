@@ -1378,3 +1378,26 @@ def domain_top_terms(df: DataFrame, domain_col: str = "source",
     return (scored.withColumn("rk", F.row_number().over(wnd)
                               .cast("bigint"))
             .where(F.col("rk") <= top_k))
+
+
+def dataset_card(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", lang_col: str = "lang",
+                 domain_col: str = "source") -> DataFrame:
+    """One-row corpus summary — the numbers a dataset card reports:
+    sizes, language/domain cardinalities, exact-dup rate (per-mille,
+    integer), tokens per doc. One aggregation job; the count
+    distincts expand map-side and reduce once."""
+    toks = tokens(F.col(text_col))
+    return (df.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+        F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(domain_col).alias("n_domains"),
+        F.countDistinct(F.md5(F.col(text_col)))
+        .alias("n_distinct_texts"))
+        .select("*",
+                F.expr("(1000 * (n_docs - n_distinct_texts)) "
+                       "div n_docs").alias("dup_milli"),
+                (F.col("n_tokens").cast("double") / F.col("n_docs"))
+                .alias("avg_tokens")))
