@@ -3226,6 +3226,49 @@ WHERE cp.c_pair >= 5
 """
 
 
+BM25_QUERY_TERMS = ["hash", "join", "window"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    from edspdf_spark.operators.index import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, top_k=20)
+
+
+_BM25_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl
+       FROM tk WHERE len(t) > 0),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ('hash', 'join', 'window')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         (length(bin((s.n_docs * 1048576) // d.df)) - 1)
+         * ((tf.tf * 1000 * 2200) // (tf.tf * 1000 +
+             ((1200 * (1000 - 750 +
+               (750 * l.dl * s.n_docs) // s.total_tokens)) // 1000)))
+           AS ts
+  FROM tf JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s),
+agg AS (SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_scaled,
+               CAST(count(*) AS BIGINT) AS n_hit_terms
+        FROM sc GROUP BY doc_id),
+r AS (SELECT *, CAST(row_number() OVER (
+        ORDER BY score_scaled DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM agg)
+SELECT doc_id, score_scaled, n_hit_terms, rk FROM r WHERE rk <= 20
+"""
+
+
 def q_dataset_card(spark, sf_dir):
     from edspdf_spark.operators.analysis import dataset_card
 
@@ -3474,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "cooc_pmi": q_cooc_pmi,
         "dataset_card": q_dataset_card,
+        "bm25_topk": q_bm25_topk,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -4149,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
     out["inverted_index"] = _INVERTED_INDEX_ORACLE
     out["cooc_pmi"] = _COOC_ORACLE
     out["dataset_card"] = _DATASET_CARD_ORACLE
+    out["bm25_topk"] = _BM25_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

