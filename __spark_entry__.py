@@ -2839,6 +2839,16 @@ CORPUS_EXCERPT_SQL = """
 """
 
 
+def q_edit_verified(spark, sf_dir):
+    """LSH candidates exact-verified by character edit distance."""
+    from edspdf_spark.operators.dedup import edit_verified_pairs
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, k=3, n_hashes=8, band_size=2,
+                              threshold=0.5)
+    return edit_verified_pairs(corpus, pairs, max_dist_milli=100)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Excerpt corpus: every 9th doc contributes a 120-char prefix
     copy — near-total containment in its source while the symmetric
@@ -3518,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_pmi": q_cooc_pmi,
         "dataset_card": q_dataset_card,
         "bm25_topk": q_bm25_topk,
+        "edit_verified": q_edit_verified,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -3670,6 +3681,31 @@ _ORACLES["dedup_minhash_lsh"] = (
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= CAST(5 AS DOUBLE)/10
+""")
+
+_ORACLES["edit_verified"] = (
+    SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
+    + ", " + _minhash_sql(8)
+    + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
+    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + """,
+pairs AS (
+  SELECT c.id_a, c.id_b FROM cand c JOIN jac j
+    ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= CAST(5 AS DOUBLE)/10),
+txt AS (SELECT doc_id AS id, text FROM """ + CORPUS_NEAR_SQL + """ t),
+ed AS (
+  SELECT p.id_a, p.id_b,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+         CAST(length(a.text) AS BIGINT) AS len_a,
+         CAST(length(b.text) AS BIGINT) AS len_b
+  FROM pairs p JOIN txt a ON p.id_a = a.id JOIN txt b ON p.id_b = b.id)
+SELECT id_a, id_b, dist, len_a, len_b,
+       (1000 * dist) // greatest(greatest(len_a, len_b), 1)
+         AS dist_milli,
+       (1000 * dist) // greatest(greatest(len_a, len_b), 1) <= 100
+         AS verified
+FROM ed
 """)
 
 # components over the minhash-verified pairs: recursive reachability,

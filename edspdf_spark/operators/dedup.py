@@ -464,3 +464,36 @@ def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
     c = F.col("inter") / F.col("size_src")
     return (out.withColumn("containment", c)
             .where(F.col("containment") >= threshold))
+
+
+def edit_verified_pairs(corpus: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_dist_milli: int = 200) -> DataFrame:
+    """Candidate near-dup pairs verified by character edit distance:
+    (id_a, id_b, dist, len_a, len_b, dist_milli, verified) with
+    dist_milli = 1000*levenshtein/max(len) and verified iff <=
+    max_dist_milli — the exact-verification stage (the Stack/BigCode
+    practice) run on CANDIDATES only: levenshtein is O(la*lb) per
+    pair, affordable after LSH has cut the pair set, never all-pairs.
+
+    Engine note: Spark's levenshtein counts CHARACTERS (the right
+    semantic); DuckDB's counts bytes, so the oracle is exact on
+    ASCII corpora (ours is) and the operator's semantic is Spark's.
+    At scale add Spark 3.5's threshold argument (early-exit cap) —
+    omitted here only because the oracle engine lacks it."""
+    t = corpus.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+    j = (pairs.select("id_a", "id_b")
+         .join(t.withColumnRenamed("id", "id_a")
+               .withColumnRenamed("t", "t_a"), "id_a")
+         .join(t.withColumnRenamed("id", "id_b")
+               .withColumnRenamed("t", "t_b"), "id_b")
+         .withColumn("dist", F.levenshtein("t_a", "t_b").cast("bigint"))
+         .withColumn("len_a", F.length("t_a").cast("bigint"))
+         .withColumn("len_b", F.length("t_b").cast("bigint")))
+    milli = F.expr("(1000 * dist) div greatest(greatest(len_a, len_b), "
+                   "1L)")
+    return (j.select("id_a", "id_b", "dist", "len_a", "len_b",
+                     milli.alias("dist_milli"))
+            .withColumn("verified",
+                        F.col("dist_milli") <= max_dist_milli))

@@ -142,3 +142,24 @@ def test_keep_best_tie_breaks_to_smallest_id(spark):
     got = {r.id: r.keep for r in
            keep_best_per_cluster(corpus, pairs, scores).collect()}
     assert got == {5: True, 9: False}
+
+
+# --- edit_verified_pairs ---------------------------------------------------
+
+def test_edit_verification_separates_true_and_false_candidates(spark):
+    from edspdf_spark.operators.dedup import edit_verified_pairs
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+         (3, "a completely different sentence that shares nothing")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r
+           for r in edit_verified_pairs(corpus, pairs,
+                                        max_dist_milli=100).collect()}
+    near = got[(1, 2)]
+    assert near.dist == 3 and near.verified
+    assert near.dist_milli == 1000 * 3 // 43
+    far = got[(1, 3)]
+    assert not far.verified and far.dist > 20
