@@ -3279,6 +3279,55 @@ SELECT doc_id, score_scaled, n_hit_terms, rk FROM r WHERE rk <= 20
 """
 
 
+def q_skew_stats(spark, sf_dir):
+    from edspdf_spark.plans.salt import skew_stats
+
+    return skew_stats(_docs(spark, sf_dir), "source", n_parts=32)
+
+
+_SKEW_STATS_ORACLE = """
+WITH c AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys FROM c),
+top AS (SELECT c, k FROM c ORDER BY c DESC, k DESC LIMIT 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rn FROM c),
+p99 AS (SELECT CAST(c AS BIGINT) AS p99_count FROM rk
+        WHERE rn = (SELECT CAST(ceil(CAST(99 AS DOUBLE)/100 * n_keys)
+                                AS BIGINT) FROM tot))
+SELECT t.n_rows, t.n_keys, top.c AS max_count, top.k AS max_key,
+       (1000 * top.c) // t.n_rows AS top1_share_milli, p99.p99_count,
+       greatest(1, CAST(ceil(CAST(top.c AS DOUBLE)
+                             / ceil(CAST(t.n_rows AS DOUBLE) / 32))
+                        AS BIGINT)) AS salt_factor
+FROM tot t, top, p99
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    from edspdf_spark.operators.analysis import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+_LENGTH_QUANTILES_ORACLE = """
+WITH v AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+        FROM c),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT (SELECT n FROM n) AS n,
+       CAST(min(CASE WHEN cum >= CAST(ceil(CAST(50 AS DOUBLE)/100 *
+            (SELECT n FROM n)) AS BIGINT) THEN v END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= CAST(ceil(CAST(90 AS DOUBLE)/100 *
+            (SELECT n FROM n)) AS BIGINT) THEN v END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= CAST(ceil(CAST(99 AS DOUBLE)/100 *
+            (SELECT n FROM n)) AS BIGINT) THEN v END) AS BIGINT) AS p99
+FROM cum
+"""
+
+
 def q_dataset_card(spark, sf_dir):
     from edspdf_spark.operators.analysis import dataset_card
 
@@ -3529,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "bm25_topk": q_bm25_topk,
         "edit_verified": q_edit_verified,
+        "skew_stats": q_skew_stats,
+        "length_quantiles": q_length_quantiles,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -4230,6 +4281,8 @@ def oracle_sql() -> dict[str, str]:
     out["cooc_pmi"] = _COOC_ORACLE
     out["dataset_card"] = _DATASET_CARD_ORACLE
     out["bm25_topk"] = _BM25_ORACLE
+    out["skew_stats"] = _SKEW_STATS_ORACLE
+    out["length_quantiles"] = _LENGTH_QUANTILES_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

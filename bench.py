@@ -122,7 +122,8 @@ def main() -> None:
                 "crawl_schedule", "complexity_signals", "robots_filter",
                 "stream_band_dedup", "normalized_dedup",
                 "domain_top_terms", "inverted_index", "cooc_pmi",
-                "dataset_card", "bm25_topk", "edit_verified"]
+                "dataset_card", "bm25_topk", "edit_verified",
+                "skew_stats", "length_quantiles"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

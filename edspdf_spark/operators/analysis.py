@@ -1401,3 +1401,29 @@ def dataset_card(df: DataFrame, id_col: str = "doc_id",
                        "div n_docs").alias("dup_milli"),
                 (F.col("n_tokens").cast("double") / F.col("n_docs"))
                 .alias("avg_tokens")))
+
+
+def length_quantiles(df: DataFrame, text_col: str = "text",
+                     ps=(50, 90, 99)) -> DataFrame:
+    """Exact length quantiles in one row: (n, p50, p90, p99, ...).
+
+    The scalable EXACT plan for bounded-cardinality values: aggregate
+    to per-length counts first (map-side combined — the only
+    corpus-sized step), then the cumulative window runs over DISTINCT
+    lengths, thousands of rows, never the corpus. approx_percentile
+    trades exactness for one pass; this gets both because document
+    lengths have bounded cardinality. Quantile definition: smallest v
+    with cum_count >= ceil(p/100 * n)."""
+    from pyspark.sql import Window
+
+    counts = (df.select(F.length(text_col).cast("bigint").alias("v"))
+              .groupBy("v").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy().agg(F.sum("c").cast("bigint").alias("n"))
+    picks = [F.min(F.when(
+        F.col("cum") >= F.expr(
+            f"cast(ceil(CAST({p} AS DOUBLE)/100 * n) as bigint)"),
+        F.col("v"))).alias(f"p{p}") for p in ps]
+    return (cum.join(F.broadcast(tot))
+            .groupBy().agg(F.first("n").alias("n"), *picks))

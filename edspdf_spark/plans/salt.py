@@ -72,3 +72,45 @@ def spread_compute(df: DataFrame,
     if df.rdd.getNumPartitions() < width:
         return df.repartition(width)
     return df
+
+
+def skew_stats(df, key_col: str, n_parts: int = 32):
+    """One-row key-skew diagnosis for a prospective shuffle on
+    `key_col`: (n_rows, n_keys, max_count, max_key, top1_share_milli,
+    p99_count, salt_factor) — salt_factor = ceil(max_count /
+    ceil(n_rows / n_parts)) is the replication factor defuse_skew
+    would need so the hottest key fits one partition's fair share
+    (1 = no salting needed).
+
+    The measurement is the aggregation it predicts: one shuffle to
+    per-key counts (map-side combined), then ordered-statistics over
+    the COUNTS table (n_keys rows, not n_rows — the p99 window sorts
+    keys, never the corpus)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: N812
+
+    counts = (df.groupBy(F.col(key_col).alias("k"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("c", "k")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    tot = counts.groupBy().agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max(F.struct(F.col("c").alias("c"),
+                       F.col("k").cast("string").alias("k")))
+        .alias("top"))
+    p99 = (ranked.join(F.broadcast(tot))
+           .where(F.col("rn") == F.expr(
+               "cast(ceil(CAST(99 AS DOUBLE)/100 * n_keys) as bigint)"))
+           .select(F.col("c").cast("bigint").alias("p99_count")))
+    out = (tot.join(F.broadcast(p99))
+           .select("n_rows", "n_keys",
+                   F.col("top.c").cast("bigint").alias("max_count"),
+                   F.col("top.k").alias("max_key"),
+                   F.expr("(1000 * top.c) div n_rows")
+                   .alias("top1_share_milli"),
+                   "p99_count"))
+    return out.withColumn(
+        "salt_factor",
+        F.expr(f"greatest(1L, cast(ceil(CAST(max_count AS DOUBLE) / "
+               f"ceil(CAST(n_rows AS DOUBLE) / {n_parts})) as bigint))"))

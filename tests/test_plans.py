@@ -199,3 +199,33 @@ def test_clean_stage_repairs_mojibake_before_filtering(spark):
     assert got[1].n_mojibake_fixes == 1 and not got[1].keep_badwords
     assert not got[1].keep
     assert got[2].n_mojibake_fixes == 0 and got[2].keep_badwords
+
+
+def test_skew_stats_detects_hot_key(spark):
+    from edspdf_spark.plans.salt import skew_stats
+    rows = [(i, "hot" if i < 900 else f"k{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    r = skew_stats(df, "key", n_parts=10).collect()[0]
+    assert (r.n_rows, r.n_keys) == (1000, 101)
+    assert r.max_key == "hot" and r.max_count == 900
+    assert r.top1_share_milli == 900
+    assert r.p99_count == 1        # the long tail is singletons
+    # fair share = 100 rows/part -> hot key needs 9-way salting
+    assert r.salt_factor == 9
+
+
+def test_skew_stats_uniform_needs_no_salt(spark):
+    from edspdf_spark.plans.salt import skew_stats
+    df = spark.createDataFrame([(i, f"k{i % 50}") for i in range(1000)],
+                               "id long, key string")
+    r = skew_stats(df, "key", n_parts=10).collect()[0]
+    assert r.salt_factor == 1 and r.max_count == 20
+
+
+def test_length_quantiles_exact(spark):
+    from edspdf_spark.operators.analysis import length_quantiles
+    # lengths 1..100 exactly once
+    df = spark.createDataFrame([(i, "x" * i) for i in range(1, 101)],
+                               "doc_id long, text string")
+    r = length_quantiles(df).collect()[0]
+    assert (r.n, r.p50, r.p90, r.p99) == (100, 50, 90, 99)
