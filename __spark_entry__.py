@@ -3279,6 +3279,73 @@ SELECT doc_id, score_scaled, n_hit_terms, rk FROM r WHERE rk <= 20
 """
 
 
+# internal-repeat corpus: a boilerplate line appears twice INSIDE
+# each document — the within-doc pass must drop the second copy
+_INTRA_TEXT_SQL = (
+    "'duplicate boilerplate line' || chr(10) || text || chr(10) || "
+    "'duplicate boilerplate line' || chr(10) || 'tail ' || "
+    "CAST(doc_id % 5 AS VARCHAR(4))")
+
+
+def q_intra_line_dedup(spark, sf_dir):
+    from edspdf_spark.operators.dedup import intra_doc_line_dedup
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_INTRA_TEXT_SQL} AS text")
+    return intra_doc_line_dedup(docs)
+
+
+_INTRA_LINE_ORACLE = f"""
+WITH docs AS (SELECT doc_id AS id, {_INTRA_TEXT_SQL} AS text
+              FROM documents),
+l AS (SELECT id, string_split(text, chr(10)) AS ls FROM docs)
+SELECT id,
+       array_to_string(list_filter(ls, (x, i) ->
+           length(x) < 10 OR list_position(ls, x) = i), chr(10))
+         AS text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(ls, (x, i) ->
+           length(x) < 10 OR list_position(ls, x) = i)) AS BIGINT)
+         AS n_kept
+FROM l
+"""
+
+
+def q_domain_hll(spark, sf_dir):
+    from edspdf_spark.operators.analysis import hll_distinct_by
+
+    return hll_distinct_by(_docs(spark, sf_dir), "source", "text")
+
+
+_DOMAIN_HLL_ORACLE = """
+WITH h AS (SELECT source AS grp,
+                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents),
+rho AS (SELECT grp, h % 64 AS b,
+               CASE WHEN h // 64 > 0
+                    THEN 54 - (length(bin(h // 64)) - 1)
+                    ELSE 55 END AS rho
+        FROM h),
+regs AS (SELECT grp, b, max(rho) AS M FROM rho GROUP BY grp, b),
+agg AS (SELECT grp, count(*)::BIGINT AS used_registers,
+               sum(1::BIGINT << (55 - M))::BIGINT AS s_present
+        FROM regs GROUP BY grp),
+base AS (
+  SELECT grp AS source, CAST(64 AS INTEGER) AS m, used_registers,
+         (64 - used_registers)::BIGINT AS zero_registers,
+         (s_present + (64 - used_registers)
+            * (1::BIGINT << 55))::BIGINT AS s_scaled
+  FROM agg)
+SELECT *,
+       CAST(7213 AS DOUBLE)/10000
+         / (1 + CAST(1079 AS DOUBLE)/1000/64)
+         * CAST(4096 AS DOUBLE)
+         * CAST(36028797018963968 AS DOUBLE)
+         / CAST(s_scaled AS DOUBLE) AS estimate
+FROM base
+"""
+
+
 def q_skew_stats(spark, sf_dir):
     from edspdf_spark.plans.salt import skew_stats
 
@@ -3580,6 +3647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verified": q_edit_verified,
         "skew_stats": q_skew_stats,
         "length_quantiles": q_length_quantiles,
+        "intra_line_dedup": q_intra_line_dedup,
+        "domain_hll": q_domain_hll,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -4283,6 +4352,8 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk"] = _BM25_ORACLE
     out["skew_stats"] = _SKEW_STATS_ORACLE
     out["length_quantiles"] = _LENGTH_QUANTILES_ORACLE
+    out["intra_line_dedup"] = _INTRA_LINE_ORACLE
+    out["domain_hll"] = _DOMAIN_HLL_ORACLE
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()

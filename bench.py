@@ -123,7 +123,8 @@ def main() -> None:
                 "stream_band_dedup", "normalized_dedup",
                 "domain_top_terms", "inverted_index", "cooc_pmi",
                 "dataset_card", "bm25_topk", "edit_verified",
-                "skew_stats", "length_quantiles"]
+                "skew_stats", "length_quantiles", "intra_line_dedup",
+                "domain_hll"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -1427,3 +1427,42 @@ def length_quantiles(df: DataFrame, text_col: str = "text",
         F.col("v"))).alias(f"p{p}") for p in ps]
     return (cum.join(F.broadcast(tot))
             .groupBy().agg(F.first("n").alias("n"), *picks))
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, col: str,
+                    p: int = 6) -> DataFrame:
+    """Per-group HyperLogLog distinct sketch: hll_distinct's register
+    math keyed by a group column — one row per group with the same
+    deterministic estimate columns. The mergeable-sketch shape now
+    doubles as a GROUPED aggregate: registers reduce map-side to at
+    most m rows per group before one small shuffle; per-group
+    sketches from different corpus shards merge by register max, so
+    snapshots can be sketched incrementally and combined."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    h = code15(F.col(col))
+    bucket = h % m
+    w = F.shiftright(h, p)
+    ilog2 = F.length(F.bin(w)) - 1
+    rho = F.when(w > 0, F.lit(60 - p) - ilog2).otherwise(F.lit(rmax))
+    regs = (df.select(F.col(group_col).alias("grp"),
+                      bucket.alias("b"), rho.alias("rho"))
+            .groupBy("grp", "b").agg(F.max("rho").alias("M")))
+    alpha = (F.lit(7213).cast("double") / 10000
+             / (F.lit(1.0) + F.lit(1079).cast("double") / 1000 / m))
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        F.sum(F.expr(f"cast(1 as bigint) << ({rmax} - M)"))
+        .alias("s_present"))
+    out = agg.select(
+        F.col("grp").alias(group_col),
+        F.lit(m).cast("int").alias("m"),
+        F.col("used_registers").cast("bigint"),
+        (F.lit(m) - F.col("used_registers")).cast("bigint")
+        .alias("zero_registers"),
+        (F.col("s_present")
+         + (F.lit(m) - F.col("used_registers"))
+         * F.lit(1 << rmax).cast("bigint")).alias("s_scaled"))
+    est = (alpha * F.lit(float(m * m)) * F.lit(float(1 << rmax))
+           / F.col("s_scaled").cast("double"))
+    return out.withColumn("estimate", est)

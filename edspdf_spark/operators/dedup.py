@@ -497,3 +497,30 @@ def edit_verified_pairs(corpus: DataFrame, pairs: DataFrame,
                      milli.alias("dist_milli"))
             .withColumn("verified",
                         F.col("dist_milli") <= max_dist_milli))
+
+
+def intra_doc_line_dedup(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_line_len: int = 10) -> DataFrame:
+    """WITHIN-document repeated-line removal (the doc-local
+    counterpart of line_dedup_rebuild's corpus-global pass; C4 applies
+    both scopes): a line survives iff it is the first occurrence of
+    its text inside ITS OWN document, or shorter than min_line_len
+    (the blank/stub guard). Output (id, text, n_lines, n_kept) with
+    text rebuilt in original order.
+
+    Zero shuffles — first-occurrence-within-doc is pure array math
+    (indexed filter + array_position, which returns the FIRST match
+    in both engines). O(L^2) per doc in line count, L is tens for web
+    text; documents with pathological line counts are the job of the
+    oversize defusal upstream, not this operator."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), "\n").alias("ls"))
+    keep = F.filter(
+        F.col("ls"),
+        lambda x, i: (F.length(x) < min_line_len) |
+                     (F.array_position(F.col("ls"), x) == i + 1))
+    return (base.withColumn("kept", keep)
+            .select("id", F.array_join(F.col("kept"), "\n").alias("text"),
+                    F.size("ls").cast("bigint").alias("n_lines"),
+                    F.size("kept").cast("bigint").alias("n_kept")))

@@ -163,3 +163,46 @@ def test_edit_verification_separates_true_and_false_candidates(spark):
     assert near.dist_milli == 1000 * 3 // 43
     far = got[(1, 3)]
     assert not far.verified and far.dist > 20
+
+
+# --- intra_doc_line_dedup --------------------------------------------------
+
+def test_intra_doc_dedup_scope_is_per_document(spark):
+    from edspdf_spark.operators.dedup import intra_doc_line_dedup
+    t1 = "a repeated long line\nunique middle text\na repeated long line"
+    t2 = "a repeated long line\nother body"     # same line, other doc
+    df = spark.createDataFrame([(1, t1), (2, t2)],
+                               "doc_id long, text string")
+    got = {r.id: r for r in intra_doc_line_dedup(df).collect()}
+    assert got[1].text == "a repeated long line\nunique middle text"
+    assert (got[1].n_lines, got[1].n_kept) == (3, 2)
+    # doc 2 keeps its copy — scope is within-document only
+    assert got[2].text == t2 and got[2].n_kept == 2
+
+
+def test_intra_doc_dedup_short_lines_always_kept(spark):
+    from edspdf_spark.operators.dedup import intra_doc_line_dedup
+    df = spark.createDataFrame([(1, "ok\nbody line that is long\nok")],
+                               "doc_id long, text string")
+    r = intra_doc_line_dedup(df).collect()[0]
+    assert r.text.count("ok") == 2 and r.n_kept == 3
+
+
+def test_intra_doc_dedup_zero_shuffle(spark):
+    from edspdf_spark.operators.dedup import intra_doc_line_dedup
+    df = spark.createDataFrame([(1, "x\ny")], "doc_id long, text string")
+    plan = intra_doc_line_dedup(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_domain_hll_matches_global_when_one_group(spark):
+    from edspdf_spark.operators.analysis import hll_distinct, hll_distinct_by
+    df = spark.createDataFrame(
+        [(i, "g", f"text {i % 40}") for i in range(200)],
+        "id long, source string, text string")
+    by = hll_distinct_by(df, "source", "text").collect()[0]
+    g = hll_distinct(df, "text", exact=False).collect()[0]
+    assert (by.used_registers, by.s_scaled) == \
+        (g.used_registers, g.s_scaled)
+    assert by.estimate == g.estimate
