@@ -107,35 +107,73 @@ def row_minhash_bands(docs: DataFrame, url_col: str = "url",
                       text_col: str = "text", k: int = 3,
                       n_hashes: int = 8,
                       band_size: int = 2) -> DataFrame:
-    """Per-ROW minhash signature (array math, no aggregation — legal
-    on a stream) exploded to (band_key, url) rows. Same shingle
-    codes, hash family and banding as the batch LSH
-    (operators/dedup.py), so streaming band keys are comparable to a
-    batch-built index. Docs with fewer than k tokens emit no rows."""
-    from ..functions import CODE_MOD, MINHASH_AB, word_shingles
+    """Per-ROW minhash signature (no aggregation — legal on a stream)
+    exploded to (band_key, url) rows. Same shingle codes (md5-prefix
+    BIGINT, functions.code15), hash family and banding as the batch
+    LSH (operators/dedup.py) — the parity test pins the band keys
+    equal to batch signatures. Docs with fewer than k tokens emit no
+    rows.
+
+    Implemented as an Arrow-batched kernel rather than nested
+    higher-order column functions: Spark evaluates HOF lambdas
+    INTERPRETED per element and does not share subexpressions across
+    lambdas, so the column form recomputed the md5 once per hash
+    function (8x). Here each shingle hashes once (hashlib) and the 8
+    mins are one vectorized numpy pass; works identically on batch
+    and streaming DataFrames (mapInArrow is stream-safe)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import CODE_MOD, MINHASH_AB
 
     assert n_hashes % band_size == 0
-    sh = word_shingles(F.col(text_col), k)
-    codes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("bigint"))
-    def _minexpr(a, b):
-        # single-arg closure: extra default args would be miscounted
-        # as higher-order-function lambda parameters
-        return lambda c: (F.lit(a) * (c % CODE_MOD) + F.lit(b)) % CODE_MOD
+    ab = np.array(MINHASH_AB[:n_hashes], dtype=np.int64)
+    n_bands = n_hashes // band_size
+    out_schema = StructType([
+        StructField("band_key", StringType()),
+        StructField("url", StringType())])
 
-    hs = [F.array_min(F.transform(codes, _minexpr(a, b)))
-          for a, b in MINHASH_AB[:n_hashes]]
-    bands = [hs[i:i + band_size] for i in range(0, n_hashes, band_size)]
-    keys = F.array(*[
-        F.concat_ws(":", F.lit(str(i)),
-                    *[h.cast("string") for h in band])
-        for i, band in enumerate(bands)])
-    return (docs.select(F.col(url_col).alias("url"),
-                        F.size(sh).alias("_n"),
-                        F.explode(keys).alias("band_key"))
-            .where(F.col("_n") > 0)
-            .select("band_key", "url"))
+    def fn(batches):
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out_keys, out_urls = [], []
+            for url, text in zip(urls, texts):
+                if text is None:
+                    continue
+                toks = [t for t in text.split(" ") if t != ""]
+                if len(toks) < k:
+                    continue
+                shingles = {" ".join(toks[i:i + k])
+                            for i in range(len(toks) - k + 1)}
+                codes = np.array(
+                    [int(hashlib.md5(s.encode("utf-8"))
+                         .hexdigest()[:15], 16) % CODE_MOD
+                     for s in shingles], dtype=np.int64)
+                # (n_hashes, n_codes) affine mod, then row mins
+                hs = ((ab[:, 0:1] * codes[None, :] + ab[:, 1:2])
+                      % CODE_MOD).min(axis=1)
+                for i in range(n_bands):
+                    vals = hs[i * band_size:(i + 1) * band_size]
+                    out_keys.append(
+                        ":".join([str(i)] + [str(v) for v in vals]))
+                    out_urls.append(url)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_keys, pa.string()),
+                 pa.array(out_urls, pa.string())],
+                names=["band_key", "url"])
+
+    slim = docs.select(F.col(url_col).cast("string").alias("url"),
+                       F.col(text_col).alias("t"))
+    # compute-spread: parquet byte-splitting can't see per-shingle
+    # hashing cost, so pin the Python stage to full width (the
+    # winnowing-kernel pattern; explicit count keeps AQE from
+    # byte-coalescing below the core count). Works on streams too.
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(width).mapInArrow(fn, schema=out_schema)
 
 
 def _band_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],

@@ -229,3 +229,49 @@ def test_length_quantiles_exact(spark):
                                "doc_id long, text string")
     r = length_quantiles(df).collect()[0]
     assert (r.n, r.p50, r.p90, r.p99) == (100, 50, 90, 99)
+
+
+def test_refresh_job_reprocesses_only_delta(spark, tmp_path):
+    """run_refresh: unchanged rows carried forward byte-identically,
+    added+changed reprocessed, removed tombstoned out."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_refresh
+    from run_webtext import clean_stage
+
+    body = ("the data value rows mixed tokens here " * 8).strip()
+    prev = spark.createDataFrame(
+        [(1, body + " one"), (2, body + " two"), (3, body + " gone")],
+        "doc_id long, text string")
+    cur = spark.createDataFrame(
+        [(1, body + " one"),                 # unchanged
+         (2, body + " two CHANGED"),         # changed
+         (4, body + " fresh")],              # added
+        "doc_id long, text string")
+    p_prev = str(tmp_path / "prev")
+    p_cur = str(tmp_path / "cur")
+    p_prev_out = str(tmp_path / "prev_out")
+    out = str(tmp_path / "out")
+    prev.write.parquet(p_prev)
+    cur.write.parquet(p_cur)
+    # previous cleaned output = funnel over prev
+    clean_stage([], "doc_id", "text",
+                stopwords=["the", "data", "value"])(prev) \
+        .write.parquet(p_prev_out)
+
+    run_refresh.main(["--previous", p_prev, "--current", p_cur,
+                      "--prev-output", p_prev_out, "--output", out,
+                      "--stopwords", "the,data,value"])
+
+    delta = {r.key: r.status
+             for r in spark.read.parquet(f"{out}/delta").collect()}
+    assert delta == {1: "unchanged", 2: "changed", 3: "removed",
+                     4: "added"}
+    data = spark.read.parquet(f"{out}/data")
+    assert sorted(r.doc_id for r in data.select("doc_id").collect()) \
+        == [1, 2, 4]                        # 3 tombstoned
+    rep = json.load(open(f"{out}/refresh.json"))
+    assert rep["counts"]["unchanged"] == 1
+    assert rep["reprocess_fraction"] == 0.5  # 2 of 4 diff keys
+    assert rep["rows_out"] == 3
