@@ -17,6 +17,7 @@ from collections import Counter
 from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
 
 
 def write_texts_parquet(texts: DataFrame, path: str,
@@ -107,3 +108,55 @@ def write_files(docs: DataFrame, path: str, *, overwrite: bool = False,
                 json.dump(rec, f, default=str)
 
     rows.foreachPartition(write_partition)
+
+
+def write_sharded(df: DataFrame, path: str, partition_col: str,
+                  rows_per_file: int = 8192,
+                  mode: str = "overwrite") -> dict:
+    """Partitioned parquet export with a manifest: writes
+    `path/<partition_col>=<v>/...` (hive layout — the Iceberg-
+    compatible table shape, partition pruning for free on read) with
+    the reference's 8192 rows-per-file discipline, then a
+    `_manifest.json` recording per-partition row counts and the total
+    — the consumption contract a downstream training job checks
+    before reading.
+
+    The counts come from one aggregation over the SOURCE (not a
+    re-read), so the manifest also certifies the write: a re-read
+    count mismatch means a torn export. Returns the manifest dict."""
+    import json as _json
+    import os as _os
+
+    (df.write.mode(mode)
+       .option("maxRecordsPerFile", rows_per_file)
+       .partitionBy(partition_col)
+       .parquet(path))
+    counts = {str(r["k"]): r["n"] for r in
+              (df.groupBy(F.col(partition_col).alias("k"))
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    manifest = {"partition_col": partition_col,
+                "rows_per_file": rows_per_file,
+                "partitions": counts,
+                "total_rows": sum(counts.values())}
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, sort_keys=True)
+    return manifest
+
+
+def read_sharded(spark, path: str, expect_manifest: bool = True):
+    """Read a write_sharded table, verifying the manifest row count
+    when present (raises on a torn export)."""
+    import json as _json
+    import os as _os
+
+    df = spark.read.parquet(path)
+    mpath = _os.path.join(path, "_manifest.json")
+    if expect_manifest and _os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = _json.load(fh)
+        n = df.count()
+        if n != manifest["total_rows"]:
+            raise ValueError(
+                f"sharded table at {path} has {n} rows but manifest "
+                f"records {manifest['total_rows']} — torn export")
+    return df

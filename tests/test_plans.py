@@ -275,3 +275,33 @@ def test_refresh_job_reprocesses_only_delta(spark, tmp_path):
     assert rep["counts"]["unchanged"] == 1
     assert rep["reprocess_fraction"] == 0.5  # 2 of 4 diff keys
     assert rep["rows_out"] == 3
+
+
+def test_write_sharded_manifest_and_pruning(spark, tmp_path):
+    from edspdf_spark.sources.writers import read_sharded, write_sharded
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"text {i}") for i in range(90)],
+        "doc_id long, source string, text string")
+    out = str(tmp_path / "sharded")
+    man = write_sharded(df, out, "source")
+    assert man["total_rows"] == 90
+    assert man["partitions"] == {"d0": 30, "d1": 30, "d2": 30}
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("source=")) \
+        == ["source=d0", "source=d1", "source=d2"]
+
+    back = read_sharded(spark, out)
+    assert back.count() == 90
+    # partition pruning reaches the scan
+    plan = back.where("source = 'd1'")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan
+
+    # torn export detection
+    import json
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    m["total_rows"] = 91
+    json.dump(m, open(os.path.join(out, "_manifest.json"), "w"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="torn export"):
+        read_sharded(spark, out)
