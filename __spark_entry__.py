@@ -2909,6 +2909,35 @@ FROM x
 """
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Pages sharing a rel=canonical target collapse to one
+    representative BEFORE content dedup ever runs (the html_meta
+    use-case): key = canonical if present else the page url."""
+    from edspdf_spark.operators.graph import html_meta
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "'https://example.org/doc/' || CAST(doc_id AS VARCHAR(12)) AS url",
+        f"{_META_HTML_SQL} AS html")
+    meta = html_meta(pages)
+    key = F.coalesce(F.col("canonical"), F.col("url"))
+    return (meta.groupBy(key.alias("canon_key"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.min("url").alias("keep_url"),
+                 F.max(F.col("canonical").isNotNull())
+                 .alias("was_canonicalized")))
+
+
+_CANONICAL_DEDUP_ORACLE = """
+WITH meta AS ({meta})
+SELECT coalesce(canonical, url) AS canon_key,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(url) AS keep_url,
+       bool_or(canonical IS NOT NULL) AS was_canonicalized
+FROM meta
+GROUP BY coalesce(canonical, url)
+"""
+
+
 # messy-host corpus for registered-domain extraction: multi-label
 # PSL suffix, deep subdomains, uppercase+port, single-label host
 _REGDOM_URL_SQL = """
@@ -3633,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "registered_domain": q_registered_domain,
         "html_meta": q_html_meta,
+        "canonical_dedup": q_canonical_dedup,
         "dedup_keep_best": q_dedup_keep_best,
         "crawl_schedule": q_crawl_schedule,
         "complexity_signals": q_complexity_signals,
@@ -4340,6 +4370,8 @@ def oracle_sql() -> dict[str, str]:
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()
     out["html_meta"] = _META_ORACLE.format(html=_META_HTML_SQL)
+    out["canonical_dedup"] = _CANONICAL_DEDUP_ORACLE.format(
+        meta=_META_ORACLE.format(html=_META_HTML_SQL))
     out["crawl_schedule"] = _CRAWL_SCHEDULE_ORACLE
     out["robots_filter"] = _ROBOTS_ORACLE.format(txt=_ROBOTS_TXT_SQL,
                                                  url=_ROBOTS_URL_SQL)

@@ -187,6 +187,26 @@ def test_html_meta_plan_zero_shuffle(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
 
 
+def test_canonical_grouping(spark):
+    """Pages naming the same canonical collapse into one group;
+    pages without one stand alone under their own url."""
+    from edspdf_spark.operators.graph import html_meta
+    from pyspark.sql import functions as F
+    rows = [
+        ("u1", '<link rel="canonical" href="https://c.com/x">'),
+        ("u2", '<link rel="canonical" href="https://c.com/x">'),
+        ("u3", "<p>no canonical</p>"),
+    ]
+    meta = html_meta(spark.createDataFrame(
+        rows, "url string, html string"))
+    key = F.coalesce(F.col("canonical"), F.col("url"))
+    got = {r.canon_key: (r.n, r.keep)
+           for r in meta.groupBy(key.alias("canon_key"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("url").alias("keep")).collect()}
+    assert got == {"https://c.com/x": (2, "u1"), "u3": (1, "u3")}
+
+
 def test_pagerank_iteration_broadcasts_ranks(spark):
     edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
     plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False))
