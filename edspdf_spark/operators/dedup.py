@@ -406,6 +406,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
     — the 15-hex-prefix convention is for BIGINT codes; here the full
     digest is kept since it is compared, not arithmetic'd.
 
+    Contract: `key_col` is unique within each snapshot (multi-capture
+    inputs collapse first via latest_by_key — duplicate keys would
+    cross-multiply through the full-outer join).
+
     Scale shape: each side reduces to (key, md5) at scan time (the
     text never shuffles), then ONE co-partitioned full-outer
     sort-merge join on key; both sides hash-partition identically, so

@@ -73,3 +73,39 @@ def test_plan_zero_shuffle_zero_python(spark):
     plan = _plan(chunk_windows(df, window=4, stride=2))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_coverage_invariant_random_corpus(spark):
+    """Seeded-random property: for any doc and any (window, stride),
+    chunks tile the token sequence — first chunk starts at 0, strides
+    are constant, the last chunk reaches the end, and overlap-trimmed
+    concatenation reconstructs the document."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{i}_{j}" for j in
+                         range(rng.randint(0, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window, stride in [(8, 8), (8, 5), (16, 3)]:
+        got = {}
+        for r in chunk_windows(df, window=window,
+                               stride=stride).collect():
+            got.setdefault(r.id, []).append(r)
+        for i, text in rows:
+            toks = text.split(" ") if text else []
+            toks = [t for t in toks if t]
+            chunks = sorted(got.get(i, []), key=lambda r: r.chunk_idx)
+            if not toks:
+                assert not chunks
+                continue
+            assert chunks[0].start == 0
+            assert all(c.start == k * stride
+                       for k, c in enumerate(chunks))
+            last = chunks[-1]
+            last_toks = last.chunk_text.split(" ")
+            assert last.start + len(last_toks) == len(toks)
+            rebuilt = chunks[0].chunk_text.split(" ")
+            for c in chunks[1:]:
+                ct = c.chunk_text.split(" ")
+                rebuilt.extend(ct[len(rebuilt) - c.start:])
+            assert rebuilt == toks

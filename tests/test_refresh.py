@@ -101,3 +101,38 @@ def test_domain_top_terms_distinctive(spark):
     top1 = {r.domain: r.term
             for r in domain_top_terms(df, top_k=1).collect()}
     assert top1 == {"cooking": "recipe", "sports": "goal"}
+
+
+def test_normalize_idempotent_random(spark):
+    import random
+    from edspdf_spark.operators.analysis import normalize_text
+    rng = random.Random(11)
+    alphabet = "aA zZ09’‘“”–—… \t.,-'\""
+    rows = [(i, "".join(rng.choice(alphabet) for _ in
+                        range(rng.randint(0, 60))))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = {r.id: r.text_norm for r in normalize_text(df).collect()}
+    df2 = spark.createDataFrame(list(once.items()),
+                                "doc_id long, text string")
+    twice = {r.id: r.text_norm for r in normalize_text(df2).collect()}
+    assert once == twice
+
+
+def test_intra_line_dedup_idempotent_random(spark):
+    import random
+    from edspdf_spark.operators.dedup import intra_doc_line_dedup
+    rng = random.Random(13)
+    lines = ["a boilerplate line here", "another long line of text",
+             "hi", "third distinct long line"]
+    rows = [(i, "\n".join(rng.choice(lines)
+                          for _ in range(rng.randint(0, 8))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = {r.id: r.text
+            for r in intra_doc_line_dedup(df).collect()}
+    df2 = spark.createDataFrame(list(once.items()),
+                                "doc_id long, text string")
+    twice = {r.id: r.text
+             for r in intra_doc_line_dedup(df2).collect()}
+    assert once == twice
