@@ -136,9 +136,11 @@ def bm25_topk(df: DataFrame, query_terms, top_k: int = 10,
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .join(dl, "doc_id")
-              .join(F.broadcast(stats)))
+    # broadcast the CANDIDATE side into the corpus-sized dl table so
+    # dl never shuffles (candidates = docs hitting a query term — tiny
+    # for selective queries; for stopword-scale terms swap the hint)
+    scored = dl.join(F.broadcast(tf.join(F.broadcast(dfreq), "term")),
+                     "doc_id").join(F.broadcast(stats))
     # n_docs * 2^20 stays under BIGINT range through ~10^12 docs
     idf = (f"CAST(length(bin((n_docs * {BM25_SCALE}) div df)) - 1 "
            f"AS BIGINT)")
