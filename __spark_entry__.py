@@ -2085,6 +2085,52 @@ def q_semantic_dedup(spark, sf_dir):
                           threshold=0.98)
 
 
+def q_cluster_balance(spark, sf_dir):
+    """Cluster-proportional rebalancing over the frozen IVF cells."""
+    from edspdf_spark.operators.simsearch import cluster_balanced_sample
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return cluster_balanced_sample(emb,
+                                   _train_centroids(_IVF_FROZEN_DIR),
+                                   target_per_cell=8)
+
+
+def _cluster_balance_oracle() -> str:
+    cents = _train_centroids(_IVF_FROZEN_DIR)
+    rows = ", ".join(
+        f"({j}, {int(sum(v * v for v in c))}::BIGINT, "
+        "[" + ", ".join(str(int(v)) for v in c) + "]::BIGINT[])"
+        for j, c in enumerate(cents))
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+cent(cell_idx, cn2, cv) AS (VALUES {rows}),
+""" + _QUANT_SQL.format(src="corpus") + """,
+dist AS (
+  SELECT n.id, c.cell_idx,
+         c.cn2 - 2::BIGINT * list_sum(
+           list_transform(generate_series(1, 64),
+                          i -> n.qv[i] * c.cv[i]))::BIGINT AS d
+  FROM n CROSS JOIN cent c
+),
+assigned AS (
+  SELECT id, cell_idx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d, cell_idx) AS rn
+    FROM dist) WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_count
+          FROM assigned GROUP BY cell),
+verdict AS (
+  SELECT a.id, a.cell, s.cell_count,
+         least(1000, (1000 * 8) // s.cell_count) AS rate_milli,
+         ('0x' || substr(md5(CAST(a.id AS VARCHAR) || ':balance-v1'),
+                         1, 15))::BIGINT % 1000 AS bucket
+  FROM assigned a JOIN sizes s USING (cell))
+SELECT id, cell, cell_count, rate_milli, bucket,
+       bucket < rate_milli AS keep
+FROM verdict
+"""
+
+
 def _semantic_dedup_oracle() -> str:
     cents = _train_centroids(_IVF_FROZEN_DIR)
     rows = ", ".join(
@@ -3663,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain": q_registered_domain,
         "html_meta": q_html_meta,
         "canonical_dedup": q_canonical_dedup,
+        "cluster_balance": q_cluster_balance,
         "dedup_keep_best": q_dedup_keep_best,
         "crawl_schedule": q_crawl_schedule,
         "complexity_signals": q_complexity_signals,
@@ -4389,5 +4436,6 @@ def oracle_sql() -> dict[str, str]:
     out["trainable_classify"] = _trainable_oracle()
     out["simsearch_ivf"] = _ivf_oracle()
     out["semantic_dedup"] = _semantic_dedup_oracle()
+    out["cluster_balance"] = _cluster_balance_oracle()
     out["multimodal_meta"] = _multimodal_oracle()
     return out

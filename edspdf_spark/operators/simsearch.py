@@ -325,3 +325,44 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rk") == 1)
             .select("query_id", F.col("nl").alias("pred_label"),
                     F.col("n_votes").cast("bigint").alias("n_votes")))
+
+
+def cluster_balanced_sample(df: DataFrame, centroids,
+                            target_per_cell: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            salt: str = "balance-v1") -> DataFrame:
+    """Cluster-proportional corpus rebalancing: assign every vector to
+    its k-means cell, then downsample each cell deterministically to
+    ~target_per_cell members — the semantic-diversity curation step
+    (web corpora are wildly cluster-imbalanced: boilerplate-shaped
+    clusters dwarf rare-topic ones; balancing flattens that without
+    embedding-space heuristics).
+
+    Per-mille rate for a cell of size n: min(1000, (1000 *
+    target_per_cell) div n); a row survives iff its md5 bucket <
+    rate (the hash_split rule, so the selection is reproducible and
+    repartition-stable; expected kept ~ target_per_cell, not exact —
+    the standard tradeoff that avoids a per-cell global sort).
+
+    Output: (id, cell, cell_count, rate_milli, bucket, keep).
+
+    Scale shape: cell assignment is the zero-shuffle Arrow matmul
+    (_with_cell); cell counts are one tiny aggregation (#cells rows)
+    broadcast back; the verdict is codegen hash math per row."""
+    from ..functions import code15
+
+    c = _with_cell(_with_quantized(df, id_col, vec_col), centroids)
+    sizes = c.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_count"))
+    rate = F.expr(f"least(1000L, (1000 * {target_per_cell}L) "
+                  f"div cell_count)")
+    # _with_quantized already renamed id_col to "id"
+    bucket = F.pmod(
+        code15(F.concat(F.col("id").cast("string"),
+                        F.lit(":" + salt))), F.lit(1000)).cast("bigint")
+    return (c.join(F.broadcast(sizes), "cell")
+            .select("id", "cell",
+                    F.col("cell_count").cast("bigint"),
+                    rate.alias("rate_milli"),
+                    bucket.alias("bucket"))
+            .withColumn("keep", F.col("bucket") < F.col("rate_milli")))

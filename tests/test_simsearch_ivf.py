@@ -115,3 +115,40 @@ def test_ivf_search_join_shuffles_on_cell(spark, emb):
         assert "hashpartitioning(cell" in plan2, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --- cluster_balanced_sample -----------------------------------------------
+
+def test_cluster_balance_flattens_imbalance(spark):
+    from edspdf_spark.operators.simsearch import cluster_balanced_sample
+    import random
+    rng = random.Random(3)
+    # two tight clusters: 300 points near A, 20 near B
+    def pt(base, n):
+        return [[b + rng.uniform(-0.01, 0.01) for b in base]
+                for _ in range(n)]
+    a, b = [1.0] + [0.0] * 63, [0.0] * 63 + [1.0]
+    vecs = pt(a, 300) + pt(b, 20)
+    cents = [[round(x * 1000) for x in a],
+             [round(x * 1000) for x in b]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = cluster_balanced_sample(df, cents, target_per_cell=25).collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(by_cell) == 2
+    big = max(by_cell.values(), key=len)
+    small = min(by_cell.values(), key=len)
+    assert len(big) == 300 and len(small) == 20
+    # big cell rate 1000*25//300 = 83 per-mille; small (20 <= 25)
+    # kept whole at rate 1000
+    assert all(r.rate_milli == 83 for r in big)
+    assert all(r.rate_milli == 1000 and r.keep for r in small)
+    kept_big = sum(1 for r in big if r.keep)
+    assert 0 < kept_big < 60       # ~25 expected, hash-thinned
+    # determinism under repartition
+    again = cluster_balanced_sample(df.repartition(7), cents,
+                                    target_per_cell=25).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
