@@ -49,7 +49,12 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "bloom_filter", "chunk_windows", "tfidf_top_terms",
            "paragraph_classify", "snapshot_diff", "fix_mojibake",
            "containment_pairs", "registered_domain", "html_meta",
-           "dedup_keep_best", "crawl_schedule", "complexity_signals"]
+           "dedup_keep_best", "crawl_schedule", "complexity_signals",
+           "robots_filter", "stream_band_dedup", "normalized_dedup",
+           "domain_top_terms", "inverted_index", "cooc_pmi",
+           "dataset_card", "bm25_topk", "edit_verified", "skew_stats",
+           "length_quantiles", "intra_line_dedup", "domain_hll",
+           "canonical_dedup", "cluster_balance"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
