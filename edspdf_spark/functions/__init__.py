@@ -83,3 +83,32 @@ def int_dot(a_col, b_col) -> Column:
     """Exact integer dot product via zip_with + fold (JVM-side)."""
     return F.aggregate(F.zip_with(a_col, b_col, lambda x, y: x * y),
                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def lsh_params(threshold: float, n_hashes: int):
+    """Choose the LSH banding (band_size r, n_bands b = n/r) whose
+    S-curve midpoint (1/b)^(1/r) sits closest to the target Jaccard
+    threshold, and report the curve: P(candidate | s) = 1-(1-s^r)^b.
+
+    Returns dict(band_size, n_bands, midpoint, p_at_threshold,
+    p_at_075t, p_at_125t) — the false-negative/false-positive dials a
+    dedup config review wants on the table. Pure driver-side math."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    divisors = [r for r in range(1, n_hashes + 1) if n_hashes % r == 0]
+    best = None
+    for r in divisors:
+        b = n_hashes // r
+        mid = (1.0 / b) ** (1.0 / r)
+        if best is None or abs(mid - threshold) < abs(best[2] - threshold):
+            best = (r, b, mid)
+    r, b, mid = best
+
+    def p(s: float) -> float:
+        s = min(max(s, 0.0), 1.0)
+        return 1.0 - (1.0 - s ** r) ** b
+
+    return {"band_size": r, "n_bands": b, "midpoint": mid,
+            "p_at_threshold": p(threshold),
+            "p_at_075t": p(0.75 * threshold),
+            "p_at_125t": p(1.25 * threshold)}

@@ -206,3 +206,21 @@ def test_domain_hll_matches_global_when_one_group(spark):
     assert (by.used_registers, by.s_scaled) == \
         (g.used_registers, g.s_scaled)
     assert by.estimate == g.estimate
+
+
+# --- lsh_params advisor (pure math, no Spark) ------------------------------
+
+def test_lsh_params_advisor():
+    from edspdf_spark.functions import lsh_params
+    import pytest as _pytest
+    # the contract config: 8 hashes at threshold 0.5 -> bands of 2
+    got = lsh_params(0.5, 8)
+    assert (got["band_size"], got["n_bands"]) == (2, 4)
+    assert got["midpoint"] == _pytest.approx(0.5, abs=0.01)
+    # S-curve: catches well above threshold, thins below
+    assert got["p_at_125t"] > got["p_at_threshold"] > got["p_at_075t"]
+    # high threshold wants wider bands (more specific candidates)
+    hi = lsh_params(0.9, 8)
+    assert hi["band_size"] >= got["band_size"]
+    with _pytest.raises(ValueError):
+        lsh_params(1.5, 8)
