@@ -2727,6 +2727,56 @@ def q_link_graph(spark, sf_dir):
     return host_edges(extract_links(_linked_pages(spark, sf_dir)))
 
 
+_LP_SEEDS = [("h0.example.com", 1), ("h1.example.com", 0),
+             ("h2.example.com", 1)]
+_LP_ITERS = 2
+
+
+def q_host_label_prop(spark, sf_dir):
+    from edspdf_spark.operators.graph import (extract_links, host_edges,
+                                              host_label_propagation)
+
+    edges = host_edges(extract_links(_linked_pages(spark, sf_dir)))
+    seeds = spark.createDataFrame(_LP_SEEDS, "host string, label int")
+    return host_label_propagation(edges, seeds, iterations=_LP_ITERS)
+
+
+def _label_prop_oracle(iterations: int = _LP_ITERS) -> str:
+    seed_vals = ", ".join(f"('{h}', {v})" for h, v in _LP_SEEDS)
+    parts = [f"""raw AS (
+  SELECT doc_id % 23 AS s, (3*doc_id+1) % 23 AS t FROM documents
+  UNION ALL SELECT doc_id % 23, (7*doc_id+3) % 23 FROM documents
+  UNION ALL SELECT doc_id % 23, (11*doc_id+5) % 23 FROM documents
+    WHERE doc_id % 4 = 0),
+e AS (SELECT DISTINCT 'h' || CAST(s AS VARCHAR) || '.example.com' AS src_host,
+                      'h' || CAST(t AS VARCHAR) || '.example.com' AS dst_host
+      FROM raw WHERE s <> t),
+nodes AS (SELECT src_host AS host FROM e
+          UNION SELECT dst_host AS host FROM e),
+seeds(shost, seed) AS (VALUES {seed_vals}),
+s0 AS (SELECT n.host, s.seed,
+              CAST(coalesce(s.seed * 1000, 500) AS BIGINT) AS sc
+       FROM nodes n LEFT JOIN seeds s ON n.host = s.shost)"""]
+    for it in range(1, iterations + 1):
+        parts.append(f"""x{it} AS (
+  SELECT e.dst_host AS host, CAST(sum(p.sc) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e JOIN s{it - 1} p ON e.src_host = p.host
+  GROUP BY e.dst_host)""")
+        parts.append(f"""s{it} AS (
+  SELECT p.host, p.seed,
+         CASE WHEN p.seed IS NOT NULL THEN CAST(p.seed * 1000 AS BIGINT)
+              WHEN x.s IS NOT NULL THEN x.s // x.n
+              ELSE p.sc END AS sc
+  FROM s{it - 1} p LEFT JOIN x{it} x ON p.host = x.host)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT host, sc AS score_scaled,
+       CASE WHEN sc > 700 THEN 'spam'
+            WHEN sc < 300 THEN 'ham'
+            ELSE 'unknown' END AS verdict
+FROM s{iterations}""")
+
+
 def q_anchor_terms(spark, sf_dir):
     from edspdf_spark.operators.graph import anchor_terms, extract_anchors
 
@@ -3699,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
         "anchor_terms": q_anchor_terms,
+        "host_label_prop": q_host_label_prop,
         "bloom_filter": q_bloom_filter,
         "chunk_windows": q_chunk_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4413,6 +4464,7 @@ def oracle_sql() -> dict[str, str]:
     oracle."""
     out = dict(_ORACLES)
     out["host_pagerank"] = _pagerank_oracle()
+    out["host_label_prop"] = _label_prop_oracle()
     out["paragraph_classify"] = _paragraph_oracle()
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()

@@ -124,7 +124,8 @@ def main() -> None:
                 "domain_top_terms", "inverted_index", "cooc_pmi",
                 "dataset_card", "bm25_topk", "edit_verified",
                 "skew_stats", "length_quantiles", "intra_line_dedup",
-                "domain_hll", "canonical_dedup", "cluster_balance"]
+                "domain_hll", "canonical_dedup", "cluster_balance",
+                "host_label_prop"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -212,3 +212,65 @@ def html_meta(pages: DataFrame, url_col: str = "url",
         robots.alias("robots"),
         robots.like("%noindex%").alias("has_noindex"),
         first(CANONICAL_PATTERN).alias("canonical"))
+
+
+def host_label_propagation(edges: DataFrame, seeds: DataFrame,
+                           iterations: int = 2, scale: int = 1000,
+                           hi_milli: int = 700,
+                           lo_milli: int = 300) -> DataFrame:
+    """Semi-supervised label spread over the host graph (the classic
+    spam/quality propagation: labels are expensive, links are free —
+    a host linked mostly by spam hosts is probably spam). Seeds carry
+    label in {0 (ham), 1 (spam)}; every host ends with a spamminess
+    score in [0, scale]:
+
+        s0(h) = seed * scale if seeded else scale div 2
+        s'(h) = s0(h) if seeded else
+                avg over in-edges (u -> h) of s(u)   (integer div;
+                hosts with no in-edges keep their current score)
+
+    Seeded hosts are CLAMPED each round (the standard label-
+    propagation constraint) so evidence flows outward but never
+    overwrites ground truth. Scores stay NON-NEGATIVE BIGINTs — that
+    keeps the one division per host per round engine-portable
+    (truncation == floor), and sums/counts aggregate exactly, so the
+    result is bit-identical under any partitioning.
+
+    Output: (host, score_scaled, verdict) with verdict spam/ham/
+    unknown by the hi/lo per-mille cut. Per iteration: one broadcast
+    of the score table into the edge join and one map-side-combined
+    aggregation on dst — the host_pagerank plan shape, with the same
+    broadcast-vs-co-partitioned dial at 10^9 hosts."""
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    nodes = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct())
+    s = seeds.select(F.col("host").alias("host"),
+                     F.col("label").cast("bigint").alias("seed"))
+    base = (nodes.join(s, "host", "left")
+            .select("host", "seed",
+                    F.coalesce(F.col("seed") * scale,
+                               F.lit(scale // 2))
+                    .cast("bigint").alias("score_scaled"))
+            .persist())
+    scores = base.select("host", "score_scaled")
+    for _ in range(iterations):
+        r = F.broadcast(scores)
+        inbound = (e.join(r, e.src_host == r.host)
+                   .groupBy(F.col("dst_host").alias("host"))
+                   .agg(F.sum("score_scaled").alias("s"),
+                        F.count(F.lit(1)).alias("n")))
+        scores = (base.join(inbound, "host", "left")
+                  .select("host",
+                          F.when(F.col("seed").isNotNull(),
+                                 (F.col("seed") * scale).cast("bigint"))
+                          .when(F.col("s").isNotNull(),
+                                F.expr("s div n").cast("bigint"))
+                          .otherwise(F.col("score_scaled"))
+                          .alias("score_scaled")))
+        scores = scores.localCheckpoint(eager=False)
+    verdict = (F.when(F.col("score_scaled") > hi_milli, F.lit("spam"))
+               .when(F.col("score_scaled") < lo_milli, F.lit("ham"))
+               .otherwise(F.lit("unknown")))
+    return scores.select("host", "score_scaled",
+                         verdict.alias("verdict"))

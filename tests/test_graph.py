@@ -187,6 +187,51 @@ def test_html_meta_plan_zero_shuffle(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
 
 
+def test_label_propagation_spreads_and_clamps(spark):
+    from edspdf_spark.operators.graph import host_label_propagation
+    # spam seed s -> a -> b chain; ham seed h -> c; d isolated-ish
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("h", "c"), ("d", "s")],
+        "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("s", 1), ("h", 0)],
+                                  "host string, label int")
+    got = {r.host: r for r in host_label_propagation(
+        edges, seeds, iterations=2).collect()}
+    assert got["s"].score_scaled == 1000      # clamped every round
+    assert got["s"].verdict == "spam"
+    assert got["a"].score_scaled == 1000      # inherits spam seed
+    assert got["b"].score_scaled == 1000      # two hops by round 2
+    assert got["c"].score_scaled == 0 and got["c"].verdict == "ham"
+    assert got["d"].score_scaled == 500       # no in-edges: neutral
+    assert got["d"].verdict == "unknown"
+
+
+def test_label_propagation_averages_mixed_evidence(spark):
+    from edspdf_spark.operators.graph import host_label_propagation
+    edges = spark.createDataFrame(
+        [("s", "x"), ("h", "x")], "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("s", 1), ("h", 0)],
+                                  "host string, label int")
+    got = {r.host: r for r in host_label_propagation(
+        edges, seeds, iterations=1).collect()}
+    assert got["x"].score_scaled == 500       # (1000 + 0) div 2
+    assert got["x"].verdict == "unknown"
+
+
+def test_label_propagation_partition_invariant(spark):
+    from edspdf_spark.operators.graph import host_label_propagation
+    edges = spark.createDataFrame(
+        [(f"h{i % 7}", f"h{(3 * i + 1) % 7}") for i in range(30)],
+        "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("h0", 1), ("h3", 0)],
+                                  "host string, label int")
+    a = sorted(map(tuple, host_label_propagation(
+        edges, seeds, iterations=3).collect()))
+    b = sorted(map(tuple, host_label_propagation(
+        edges.repartition(5), seeds, iterations=3).collect()))
+    assert a == b
+
+
 def test_canonical_grouping(spark):
     """Pages naming the same canonical collapse into one group;
     pages without one stand alone under their own url."""
