@@ -2777,6 +2777,45 @@ SELECT host, sc AS score_scaled,
 FROM s{iterations}""")
 
 
+def q_host_degrees(spark, sf_dir):
+    from edspdf_spark.operators.graph import (extract_links, host_degrees,
+                                              host_edges)
+
+    return host_degrees(
+        host_edges(extract_links(_linked_pages(spark, sf_dir))))
+
+
+_HOST_DEGREES_ORACLE = """
+WITH raw AS (
+  SELECT doc_id % 23 AS s, (3*doc_id+1) % 23 AS t FROM documents
+  UNION ALL SELECT doc_id % 23, (7*doc_id+3) % 23 FROM documents
+  UNION ALL SELECT doc_id % 23, (11*doc_id+5) % 23 FROM documents
+    WHERE doc_id % 4 = 0),
+e AS (SELECT DISTINCT 'h' || CAST(s AS VARCHAR) || '.example.com' AS src_host,
+                      'h' || CAST(t AS VARCHAR) || '.example.com' AS dst_host
+      FROM raw WHERE s <> t),
+od AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS out_deg
+       FROM e GROUP BY src_host),
+idg AS (SELECT dst_host AS host, CAST(count(*) AS BIGINT) AS in_deg
+        FROM e GROUP BY dst_host),
+rc AS (SELECT a.src_host AS host, CAST(count(*) AS BIGINT) AS reciprocal
+       FROM e a JOIN e b
+         ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+       GROUP BY a.src_host),
+base AS (
+  SELECT coalesce(od.host, idg.host) AS host,
+         coalesce(od.out_deg, 0) AS out_deg,
+         coalesce(idg.in_deg, 0) AS in_deg
+  FROM od FULL OUTER JOIN idg ON od.host = idg.host)
+SELECT b.host, b.out_deg, b.in_deg,
+       coalesce(rc.reciprocal, 0) AS reciprocal,
+       CASE WHEN b.out_deg = 0 THEN 0
+            ELSE (1000 * coalesce(rc.reciprocal, 0)) // b.out_deg
+       END AS recip_milli
+FROM base b LEFT JOIN rc ON b.host = rc.host
+"""
+
+
 def q_anchor_terms(spark, sf_dir):
     from edspdf_spark.operators.graph import anchor_terms, extract_anchors
 
@@ -3750,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "anchor_terms": q_anchor_terms,
         "host_label_prop": q_host_label_prop,
+        "host_degrees": q_host_degrees,
         "bloom_filter": q_bloom_filter,
         "chunk_windows": q_chunk_windows,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4465,6 +4505,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["host_pagerank"] = _pagerank_oracle()
     out["host_label_prop"] = _label_prop_oracle()
+    out["host_degrees"] = _HOST_DEGREES_ORACLE
     out["paragraph_classify"] = _paragraph_oracle()
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()

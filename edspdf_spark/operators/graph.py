@@ -274,3 +274,39 @@ def host_label_propagation(edges: DataFrame, seeds: DataFrame,
                .otherwise(F.lit("unknown")))
     return scores.select("host", "score_scaled",
                          verdict.alias("verdict"))
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """(host, out_deg, in_deg, reciprocal, recip_milli): degree
+    profile plus link reciprocity — the fraction of a host's
+    out-links that link back (mutual-linking rings are the classic
+    link-farm signature; organic linking is mostly one-way).
+
+    reciprocal = |{v : h->v AND v->h}| over the DISTINCT edge set;
+    recip_milli = 1000 * reciprocal div out_deg (0 when out_deg = 0).
+    One self-join of the host-level edge set (already tiny next to
+    the corpus) + two degree aggregations merged by full outer join.
+    """
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    out_deg = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    rev = e.select(F.col("src_host").alias("dst_host"),
+                   F.col("dst_host").alias("src_host"))
+    recip = (e.join(rev, ["src_host", "dst_host"])
+             .groupBy(F.col("src_host").alias("host"))
+             .agg(F.count(F.lit(1)).alias("reciprocal")))
+    base = (out_deg.join(in_deg, "host", "full_outer")
+            .join(recip, "host", "left")
+            .select("host",
+                    F.coalesce("out_deg", F.lit(0)).cast("bigint")
+                    .alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).cast("bigint")
+                    .alias("in_deg"),
+                    F.coalesce("reciprocal", F.lit(0)).cast("bigint")
+                    .alias("reciprocal")))
+    return base.withColumn(
+        "recip_milli",
+        F.expr("CASE WHEN out_deg = 0 THEN 0L "
+               "ELSE (1000 * reciprocal) div out_deg END"))

@@ -257,3 +257,19 @@ def test_pagerank_iteration_broadcasts_ranks(spark):
     plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_host_degrees_and_reciprocity(spark):
+    from edspdf_spark.operators.graph import host_degrees
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),        # mutual pair
+         ("a", "c"), ("c", "d")],       # one-way chain
+        "src_host string, dst_host string")
+    got = {r.host: r for r in host_degrees(edges).collect()}
+    assert (got["a"].out_deg, got["a"].in_deg) == (2, 1)
+    assert got["a"].reciprocal == 1 and got["a"].recip_milli == 500
+    assert got["b"].reciprocal == 1 and got["b"].recip_milli == 1000
+    assert got["c"].reciprocal == 0 and got["c"].recip_milli == 0
+    # sink-only host: out_deg 0, recip 0 (no division blowup)
+    assert (got["d"].out_deg, got["d"].in_deg,
+            got["d"].recip_milli) == (0, 1, 0)
