@@ -131,3 +131,48 @@ def test_random_classifier_reference_seeding(spark):
     two = a[a.url == url1].sort_values(["page_num", "order_idx"])
     if len(two) == len(one) and len(one) >= 4:
         assert list(two["label"]) != list(one["label"]) or True
+
+
+def test_streaming_late_and_too_late_events(spark, tmp_path):
+    """Watermark semantics pinned: a late event inside the watermark
+    is counted when its window finalizes; an event behind the
+    watermark for an already-emitted window is dropped, and the
+    emitted count never changes (append mode = immutable results)."""
+    import datetime as dt
+
+    from edspdf_spark.streaming.windowed import stream_event_counts
+
+    def ev(eid, hh, mm, typ="click", val=1.0):
+        return (eid, dt.datetime(2024, 3, 1, hh, mm), 1, typ, val, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q = stream_event_counts(
+            spark, in_dir, out_dir, ck,
+            spark.createDataFrame([], schema).schema,
+            window="1 hour", watermark="2 hours")
+        q.awaitTermination(120)
+        return {(r.window_start.hour, r.event_type):
+                (r.n_events, r.sum_value_milli)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    # batch 1: two events in the 10:00 window, one at 13:00 ->
+    # watermark 11:00 finalizes the 10:00 window
+    got = run_batch([ev(1, 10, 0), ev(2, 10, 40), ev(3, 13, 0)])
+    assert got[(10, "click")] == (2, 2000)
+
+    # batch 2: a late-but-in-watermark event (12:30, window open) and
+    # a too-late one (10:15, behind the 11:00 watermark)
+    got = run_batch([ev(4, 12, 30), ev(5, 10, 15)])
+    assert got[(10, "click")] == (2, 2000)     # unchanged
+
+    # batch 3: 15:30 advances the watermark to 13:30 -> the 12:00
+    # window finalizes WITH the late event; the too-late one is gone
+    got = run_batch([ev(6, 15, 30)])
+    assert got[(12, "click")] == (1, 1000)     # late event counted
+    assert got[(10, "click")] == (2, 2000)     # too-late still dropped
