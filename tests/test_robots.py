@@ -99,3 +99,45 @@ def test_verdict_plan_broadcasts_rules(spark):
     plan = _plan(robots_verdicts(frontier, robots_rules(robots)))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_crawl_plan_job_end_to_end(spark, tmp_path):
+    """run_crawl_plan: robots verdicts + blocklist + politeness slots
+    compose into the deployable frontier plan."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_crawl_plan
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/p/{i}",) for i in range(30)]
+        + [("https://h0.com/private/x",), ("https://bad.com/q",)],
+        "url string")
+    robots = spark.createDataFrame(
+        [("h0.com", "User-agent: *\nDisallow: /private/\n"),
+         ("h1.com", "User-agent: other\nDisallow: /\n")],
+        "host string, robots_txt string")
+    p_f, p_r, out = (str(tmp_path / d) for d in ("f", "r", "out"))
+    frontier.write.parquet(p_f)
+    robots.write.parquet(p_r)
+
+    run_crawl_plan.main(["--frontier", p_f, "--robots", p_r,
+                         "--output", out,
+                         "--per-host-concurrency", "2",
+                         "--block-hosts", "bad.com"])
+
+    plan = spark.read.parquet(f"{out}/plan")
+    excluded = {(r.url, r.reason) for r in
+                spark.read.parquet(f"{out}/excluded").collect()}
+    urls = {r.url for r in plan.collect()}
+    assert "https://h0.com/private/x" not in urls
+    assert ("https://h0.com/private/x", "robots") in excluded
+    assert ("https://bad.com/q", "blocklist") in excluded
+    assert len(urls) == 30                       # the clean frontier
+    # politeness: max 2 fetches per host per slot
+    from collections import Counter
+    per = Counter((r.host, r.slot) for r in plan.collect())
+    assert max(per.values()) <= 2
+    rep = json.load(open(f"{out}/plan.json"))
+    assert rep["allowed"] == 30
+    assert rep["excluded"] == {"robots": 1, "blocklist": 1}
