@@ -21,6 +21,10 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "de", "et", "un"],
     "de": ["der", "die", "und", "das", "ein"],
     "es": ["el", "la", "de", "y", "un"],
+    "it": ["il", "di", "che", "e", "la"],
+    "pt": ["o", "de", "que", "e", "do"],
+    "nl": ["de", "het", "een", "van", "en"],
+    "pl": ["i", "w", "na", "z", "do"],
 }
 
 

@@ -738,3 +738,14 @@ def test_crawl_schedule_deterministic_under_repartition(spark):
     ra = sorted(map(tuple, crawl_schedule(a).collect()))
     rb = sorted(map(tuple, crawl_schedule(b).collect()))
     assert ra == rb
+
+
+def test_lang_id_extended_packs(spark):
+    from edspdf_spark.operators.analysis import lang_id
+    rows = [(1, "il ristorante di roma che amo e la pasta"),
+            (2, "o livro de historia que eu li e do porto"),
+            (3, "de hond het huis een fiets van en brood"),
+            (4, "kot i pies w domu na stole z kawa do pracy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {1: "it", 2: "pt", 3: "nl", 4: "pl"}
