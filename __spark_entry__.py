@@ -3133,10 +3133,11 @@ CASE WHEN doc_id % 5 = 3
        || 'Crawl-delay: 5'
        || CASE WHEN doc_id % 2 = 1
                THEN chr(10) || 'User-agent: spark-graft' || chr(10)
-                 || 'Disallow: /tmp/'
+                 || 'Disallow: /tmp/' || chr(10) || 'Crawl-delay: 2'
                ELSE '' END
        || CASE WHEN doc_id % 4 = 1
-               THEN chr(10) || 'Disallow: /x*y'
+               THEN chr(10) || 'Disallow: /x*y' || chr(10)
+                 || 'Crawl-delay: 2.5'
                ELSE '' END
 END
 """
@@ -3614,6 +3615,72 @@ GROUP BY b.id
 """)
 
 
+def q_crawl_delays(spark, sf_dir):
+    from edspdf_spark.operators.robots import robots_crawl_delays
+
+    robots = _docs(spark, sf_dir).where("doc_id < 10").selectExpr(
+        "'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host",
+        f"{_ROBOTS_TXT_SQL} AS robots_txt")
+    return robots_crawl_delays(robots, agent="spark-graft")
+
+
+_CRAWL_DELAYS_ORACLE = """
+WITH robots AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host,
+         {txt} AS robots_txt
+  FROM documents WHERE doc_id < 10),
+lx AS (
+  SELECT host, u.idx AS idx, trim(u.raw) AS l0 FROM (
+    SELECT host, unnest(list_transform(
+        generate_series(1, len(string_split(
+            replace(robots_txt, chr(13), ''), chr(10)))),
+        i -> {{'idx': i - 1,
+               'raw': string_split(replace(robots_txt, chr(13), ''),
+                                   chr(10))[i]}})) AS u
+    FROM robots)),
+cl AS (
+  SELECT host, idx,
+         trim(CASE WHEN strpos(l0, '#') > 0
+                   THEN substr(l0, 1, strpos(l0, '#') - 1)
+                   ELSE l0 END) AS line
+  FROM lx),
+parsed AS (
+  SELECT host, idx, line,
+         lower(trim(split_part(line, ':', 1))) AS directive,
+         CASE WHEN strpos(line, ':') > 0
+              THEN trim(substr(line, strpos(line, ':') + 1))
+              ELSE '' END AS value
+  FROM cl WHERE line <> ''),
+flags AS (
+  SELECT *,
+         CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+  FROM parsed),
+prevs AS (
+  SELECT *,
+         coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY idx), 0)
+           AS prev_ua
+  FROM flags),
+grp AS (
+  SELECT *,
+         sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS group_id
+  FROM prevs),
+uas AS (
+  SELECT host, group_id,
+         bool_or(lower(value) = 'spark-graft' OR value = '*')
+           AS applies
+  FROM grp WHERE is_ua = 1 GROUP BY host, group_id)
+SELECT g.host,
+       CAST(min(CAST(g.value AS BIGINT)) AS BIGINT) AS crawl_delay_s
+FROM grp g JOIN uas u ON g.host = u.host AND g.group_id = u.group_id
+WHERE g.directive = 'crawl-delay'
+  AND regexp_matches(g.value, '^[0-9]+$') AND u.applies
+GROUP BY g.host
+"""
+
+
 def q_complexity_signals(spark, sf_dir):
     """Rows-only by nature: DEFLATE length is not SQL-expressible
     (the bloc_transformer precedent); kernel goldens carry the value
@@ -3805,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "complexity_signals": q_complexity_signals,
         "robots_filter": q_robots_filter,
+        "crawl_delays": q_crawl_delays,
         "stream_band_dedup": q_stream_band_dedup,
         "normalized_dedup": q_normalized_dedup,
         "domain_top_terms": q_domain_top_terms,
@@ -4516,6 +4584,8 @@ def oracle_sql() -> dict[str, str]:
     out["robots_filter"] = _ROBOTS_ORACLE.format(txt=_ROBOTS_TXT_SQL,
                                                  url=_ROBOTS_URL_SQL)
     out["stream_band_dedup"] = _stream_band_oracle()
+    out["crawl_delays"] = _CRAWL_DELAYS_ORACLE.format(
+        txt=_ROBOTS_TXT_SQL)
     out["normalized_dedup"] = _normalized_dedup_oracle()
     out["domain_top_terms"] = _DOMAIN_TERMS_ORACLE
     out["inverted_index"] = _INVERTED_INDEX_ORACLE

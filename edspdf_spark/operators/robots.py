@@ -24,17 +24,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F  # noqa: N812
 
 
-def robots_rules(robots: DataFrame, agent: str = "spark-graft",
-                 host_col: str = "host",
-                 text_col: str = "robots_txt") -> DataFrame:
-    """(host, robots_txt) -> (host, is_allow, path, plen): the rules
-    of every group whose user-agent line matches `agent` or '*'.
 
-    Group semantics per RFC 9309 §2.2.1: a group is one or more
-    consecutive User-agent lines followed by rules; a rule line
-    belongs to the nearest preceding group. Implemented with two
-    per-host running windows (new-group detection, then group-id
-    inheritance) — pure codegen, no Python."""
+def _parsed_groups(robots: DataFrame, agent: str, host_col: str,
+                   text_col: str):
+    """Shared robots.txt front half: comment-stripped directive/value
+    lines with RFC group ids, plus the per-group applicability table
+    for `agent` (matches the literal token or '*')."""
     agent = agent.lower()
     lines = (robots.select(
         F.col(host_col).alias("host"),
@@ -69,6 +64,21 @@ def robots_rules(robots: DataFrame, agent: str = "spark-graft",
            .groupBy("host", "group_id")
            .agg(F.max((F.lower(F.col("value")) == agent) |
                       (F.col("value") == "*")).alias("applies")))
+    return grouped, uas
+
+
+def robots_rules(robots: DataFrame, agent: str = "spark-graft",
+                 host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, is_allow, path, plen): the rules
+    of every group whose user-agent line matches `agent` or '*'.
+
+    Group semantics per RFC 9309 §2.2.1: a group is one or more
+    consecutive User-agent lines followed by rules; a rule line
+    belongs to the nearest preceding group. Implemented with two
+    per-host running windows (new-group detection, then group-id
+    inheritance) — pure codegen, no Python."""
+    grouped, uas = _parsed_groups(robots, agent, host_col, text_col)
     rules = (grouped
              .where(F.col("directive").isin("allow", "disallow"))
              .where(F.col("value") != "")            # empty = no rule
@@ -115,3 +125,26 @@ def robots_verdicts(frontier: DataFrame, rules: DataFrame,
         F.coalesce(F.col("best.a"), F.lit(True)).alias("allowed"),
         F.coalesce(F.col("best.l"), F.lit(0).cast("bigint"))
         .alias("match_len"))
+
+
+def robots_crawl_delays(robots: DataFrame, agent: str = "spark-graft",
+                        host_col: str = "host",
+                        text_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay_s): the Crawl-delay directive of applicable
+    groups (same group/agent semantics as robots_rules), minimum wins
+    when several apply. Only whole-second integer values are honored
+    (digits-only check in BOTH engines — fractional strings round in
+    one engine and null in the other, so the subset keeps the oracle
+    exact; fractional delays are rare in the wild).
+
+    Feeds crawl_schedule: slot pacing per host = max(politeness
+    default, crawl_delay_s)."""
+    grouped, uas = _parsed_groups(robots, agent, host_col, text_col)
+    return (grouped
+            .where(F.col("directive") == "crawl-delay")
+            .where(F.col("value").rlike("^[0-9]+$"))
+            .join(uas, ["host", "group_id"])
+            .where(F.col("applies"))
+            .groupBy("host")
+            .agg(F.min(F.col("value").cast("bigint"))
+                 .alias("crawl_delay_s")))

@@ -141,3 +141,17 @@ def test_crawl_plan_job_end_to_end(spark, tmp_path):
     rep = json.load(open(f"{out}/plan.json"))
     assert rep["allowed"] == 30
     assert rep["excluded"] == {"robots": 1, "blocklist": 1}
+
+
+def test_crawl_delays_group_semantics(spark):
+    from edspdf_spark.operators.robots import robots_crawl_delays
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 5\n"
+                   "User-agent: bot\nCrawl-delay: 2\n"),
+         ("b.com", "User-agent: other\nCrawl-delay: 9\n"),
+         ("c.com", "User-agent: *\nCrawl-delay: 2.5\n"),  # fractional
+         ("d.com", "User-agent: *\nDisallow: /x\n")],     # no delay
+        "host string, robots_txt string")
+    got = {r.host: r.crawl_delay_s
+           for r in robots_crawl_delays(robots, agent="bot").collect()}
+    assert got == {"a.com": 2}    # min of applicable; others filtered
