@@ -3717,6 +3717,49 @@ SELECT url, host, host_seq, host_seq // 4 AS slot FROM s
 """
 
 
+def q_regdomain_stats(spark, sf_dir):
+    """Per-REGISTERED-domain rollup over the messy-host corpus: the
+    keying fix registered_domain exists for (subdomains of one site
+    collapse into one row; host-level keys overcount)."""
+    from edspdf_spark.operators.urls import registered_domain
+
+    u = _docs(spark, sf_dir).selectExpr(f"{_REGDOM_URL_SQL} AS url")
+    rd = registered_domain(u)
+    return (rd.groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.countDistinct("tld").alias("n_tlds")))
+
+
+def _regdomain_stats_oracle() -> str:
+    from edspdf_spark.operators.urls import PSL_MULTI_SUFFIXES
+
+    psl = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES)
+    return f"""
+WITH u AS (SELECT {_REGDOM_URL_SQL} AS url FROM documents),
+h AS (SELECT url,
+             lower(split_part(split_part(split_part(url, '//', 2),
+                                         '/', 1), ':', 1)) AS host
+      FROM u),
+l AS (SELECT url, host, string_split(host, '.') AS ls FROM h),
+rd AS (
+  SELECT url, host,
+         CASE WHEN len(ls) >= 3 AND
+                   (ls[len(ls)-1] || '.' || ls[len(ls)]) IN ({psl})
+              THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.'
+                   || ls[len(ls)]
+              WHEN len(ls) >= 2
+              THEN ls[len(ls)-1] || '.' || ls[len(ls)]
+              ELSE host END AS reg_domain,
+         ls[len(ls)] AS tld
+  FROM l)
+SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT tld) AS BIGINT) AS n_tlds
+FROM rd GROUP BY reg_domain
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Two synthetic captures: every 13th doc removed, every 7th
     (surviving) changed, every 10th re-added under a new id."""
@@ -3873,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity_signals": q_complexity_signals,
         "robots_filter": q_robots_filter,
         "crawl_delays": q_crawl_delays,
+        "regdomain_stats": q_regdomain_stats,
         "stream_band_dedup": q_stream_band_dedup,
         "normalized_dedup": q_normalized_dedup,
         "domain_top_terms": q_domain_top_terms,
@@ -4577,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
     out["paragraph_classify"] = _paragraph_oracle()
     out["fix_mojibake"] = _mojibake_oracle()
     out["registered_domain"] = _regdom_oracle()
+    out["regdomain_stats"] = _regdomain_stats_oracle()
     out["html_meta"] = _META_ORACLE.format(html=_META_HTML_SQL)
     out["canonical_dedup"] = _CANONICAL_DEDUP_ORACLE.format(
         meta=_META_ORACLE.format(html=_META_HTML_SQL))

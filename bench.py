@@ -125,7 +125,8 @@ def main() -> None:
                 "dataset_card", "bm25_topk", "edit_verified",
                 "skew_stats", "length_quantiles", "intra_line_dedup",
                 "domain_hll", "canonical_dedup", "cluster_balance",
-                "host_label_prop", "host_degrees", "crawl_delays"]
+                "host_label_prop", "host_degrees", "crawl_delays",
+                "regdomain_stats"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -749,3 +749,18 @@ def test_lang_id_extended_packs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.id: r.lang_pred for r in lang_id(df).collect()}
     assert got == {1: "it", 2: "pt", 3: "nl", 4: "pl"}
+
+
+def test_regdomain_rollup_collapses_subdomains(spark):
+    from pyspark.sql import functions as F
+    from edspdf_spark.operators.urls import registered_domain
+    urls = ["https://a.example.co.uk/1", "https://b.example.co.uk/2",
+            "https://www.example.co.uk/3", "https://other.com/4"]
+    rd = registered_domain(
+        spark.createDataFrame([(u,) for u in urls], "url string"))
+    got = {r.reg_domain: (r.n_urls, r.n_hosts) for r in
+           rd.groupBy("reg_domain")
+           .agg(F.count(F.lit(1)).alias("n_urls"),
+                F.countDistinct("host").alias("n_hosts")).collect()}
+    assert got["example.co.uk"] == (3, 3)   # three hosts, one site
+    assert got["other.com"] == (1, 1)
