@@ -3126,6 +3126,8 @@ FROM l
 _ROBOTS_TXT_SQL = """
 CASE WHEN doc_id % 5 = 3
      THEN 'User-agent: other' || chr(10) || 'Disallow: /'
+       || chr(10) || 'Sitemap: https://h' || CAST(doc_id AS VARCHAR(4))
+       || '.example.com/sitemap.xml'
      ELSE '# policy' || chr(10)
        || 'User-agent: *' || chr(10)
        || 'Disallow: /private/' || chr(10)
@@ -3138,6 +3140,11 @@ CASE WHEN doc_id % 5 = 3
        || CASE WHEN doc_id % 4 = 1
                THEN chr(10) || 'Disallow: /x*y' || chr(10)
                  || 'Crawl-delay: 2.5'
+               ELSE '' END
+       || CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || 'Sitemap: https://h'
+                 || CAST(doc_id AS VARCHAR(4))
+                 || '.example.com/sitemap.xml'
                ELSE '' END
 END
 """
@@ -3681,6 +3688,40 @@ GROUP BY g.host
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    from edspdf_spark.operators.robots import robots_sitemaps
+
+    robots = _docs(spark, sf_dir).where("doc_id < 10").selectExpr(
+        "'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host",
+        f"{_ROBOTS_TXT_SQL} AS robots_txt")
+    return robots_sitemaps(robots)
+
+
+_SITEMAPS_ORACLE = """
+WITH robots AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host,
+         {txt} AS robots_txt
+  FROM documents WHERE doc_id < 10),
+lx AS (
+  SELECT host, trim(u.raw) AS l0 FROM (
+    SELECT host, unnest(string_split(
+        replace(robots_txt, chr(13), ''), chr(10))) AS raw
+    FROM robots) u),
+cl AS (
+  SELECT host,
+         trim(CASE WHEN strpos(l0, '#') > 0
+                   THEN substr(l0, 1, strpos(l0, '#') - 1)
+                   ELSE l0 END) AS line
+  FROM lx)
+SELECT DISTINCT host,
+       trim(substr(line, strpos(line, ':') + 1)) AS sitemap_url
+FROM cl
+WHERE line <> '' AND strpos(line, ':') > 0
+  AND lower(trim(split_part(line, ':', 1))) = 'sitemap'
+  AND trim(substr(line, strpos(line, ':') + 1)) <> ''
+"""
+
+
 def q_complexity_signals(spark, sf_dir):
     """Rows-only by nature: DEFLATE length is not SQL-expressible
     (the bloc_transformer precedent); kernel goldens carry the value
@@ -3917,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "crawl_delays": q_crawl_delays,
         "regdomain_stats": q_regdomain_stats,
+        "robots_sitemaps": q_robots_sitemaps,
         "stream_band_dedup": q_stream_band_dedup,
         "normalized_dedup": q_normalized_dedup,
         "domain_top_terms": q_domain_top_terms,
@@ -4630,6 +4672,8 @@ def oracle_sql() -> dict[str, str]:
                                                  url=_ROBOTS_URL_SQL)
     out["stream_band_dedup"] = _stream_band_oracle()
     out["crawl_delays"] = _CRAWL_DELAYS_ORACLE.format(
+        txt=_ROBOTS_TXT_SQL)
+    out["robots_sitemaps"] = _SITEMAPS_ORACLE.format(
         txt=_ROBOTS_TXT_SQL)
     out["normalized_dedup"] = _normalized_dedup_oracle()
     out["domain_top_terms"] = _DOMAIN_TERMS_ORACLE

@@ -148,3 +148,17 @@ def robots_crawl_delays(robots: DataFrame, agent: str = "spark-graft",
             .groupBy("host")
             .agg(F.min(F.col("value").cast("bigint"))
                  .alias("crawl_delay_s")))
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    text_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): Sitemap directives — group-INDEPENDENT
+    per RFC 9309 §2.3 / sitemaps.org (they apply to all agents, so no
+    applicability join), one row per occurrence, order-free. The
+    crawl bootstrap: sitemap URLs seed the frontier before any link
+    graph exists."""
+    grouped, _uas = _parsed_groups(robots, "*", host_col, text_col)
+    return (grouped.where(F.col("directive") == "sitemap")
+            .where(F.col("value") != "")
+            .select("host", F.col("value").alias("sitemap_url"))
+            .distinct())

@@ -155,3 +155,19 @@ def test_crawl_delays_group_semantics(spark):
     got = {r.host: r.crawl_delay_s
            for r in robots_crawl_delays(robots, agent="bot").collect()}
     assert got == {"a.com": 2}    # min of applicable; others filtered
+
+
+def test_sitemaps_group_independent(spark):
+    from edspdf_spark.operators.robots import robots_sitemaps
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: other\nDisallow: /\n"
+                   "Sitemap: https://a.com/s.xml\n"
+                   "Sitemap: https://a.com/s2.xml\n"
+                   "Sitemap: https://a.com/s.xml\n"),  # dup collapses
+         ("b.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    got = sorted((r.host, r.sitemap_url)
+                 for r in robots_sitemaps(robots).collect())
+    # found even though the only group is for another agent
+    assert got == [("a.com", "https://a.com/s.xml"),
+                   ("a.com", "https://a.com/s2.xml")]
