@@ -50,7 +50,9 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F  # noqa: N812
 
-    from edspdf_spark.operators.robots import (robots_rules,
+    from edspdf_spark.operators.robots import (robots_crawl_delays,
+                                               robots_rules,
+                                               robots_sitemaps,
                                                robots_verdicts)
     from edspdf_spark.operators.urls import crawl_schedule
 
@@ -78,6 +80,11 @@ def main(argv=None) -> int:
 
     plan.write.mode("overwrite").parquet(f"{args.output}/plan")
     excluded.write.mode("overwrite").parquet(f"{args.output}/excluded")
+    # frontier bootstrap + per-host pacing side tables
+    robots_sitemaps(robots).write.mode("overwrite") \
+        .parquet(f"{args.output}/sitemaps")
+    robots_crawl_delays(robots, agent=args.agent) \
+        .write.mode("overwrite").parquet(f"{args.output}/delays")
 
     os.makedirs(args.output, exist_ok=True)
     n_slots = plan.agg(F.max("slot")).collect()[0][0]
@@ -89,6 +96,10 @@ def main(argv=None) -> int:
                      .agg(F.count("*").alias("n")).collect()},
         "max_slot": int(n_slots) if n_slots is not None else 0,
         "per_host_concurrency": args.per_host_concurrency,
+        "sitemap_urls": spark.read.parquet(
+            f"{args.output}/sitemaps").count(),
+        "hosts_with_delay": spark.read.parquet(
+            f"{args.output}/delays").count(),
     }
     with open(os.path.join(args.output, "plan.json"), "w") as fh:
         json.dump(report, fh)

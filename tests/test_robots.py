@@ -114,7 +114,8 @@ def test_crawl_plan_job_end_to_end(spark, tmp_path):
         + [("https://h0.com/private/x",), ("https://bad.com/q",)],
         "url string")
     robots = spark.createDataFrame(
-        [("h0.com", "User-agent: *\nDisallow: /private/\n"),
+        [("h0.com", "User-agent: *\nDisallow: /private/\n"
+                    "Crawl-delay: 3\nSitemap: https://h0.com/s.xml\n"),
          ("h1.com", "User-agent: other\nDisallow: /\n")],
         "host string, robots_txt string")
     p_f, p_r, out = (str(tmp_path / d) for d in ("f", "r", "out"))
@@ -141,6 +142,10 @@ def test_crawl_plan_job_end_to_end(spark, tmp_path):
     rep = json.load(open(f"{out}/plan.json"))
     assert rep["allowed"] == 30
     assert rep["excluded"] == {"robots": 1, "blocklist": 1}
+    assert rep["sitemap_urls"] == 1 and rep["hosts_with_delay"] == 1
+    delays = {r.host: r.crawl_delay_s for r in
+              spark.read.parquet(f"{out}/delays").collect()}
+    assert delays == {"h0.com": 3}
 
 
 def test_crawl_delays_group_semantics(spark):
