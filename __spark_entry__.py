@@ -3722,6 +3722,31 @@ WHERE line <> '' AND strpos(line, ':') > 0
 """
 
 
+def q_char_profile(spark, sf_dir):
+    from edspdf_spark.operators.analysis import char_profile
+
+    return char_profile(_docs(spark, sf_dir))
+
+
+_CHAR_PROFILE_ORACLE = """
+WITH c AS (
+  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+           AS n_letters,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+           AS n_digits,
+         CAST(len(regexp_extract_all(text, '[ ]')) AS BIGINT)
+           AS n_spaces
+  FROM documents)
+SELECT id, n_chars, n_letters, n_digits, n_spaces,
+       n_chars - n_letters - n_digits - n_spaces AS n_other,
+       (1000 * n_letters) // greatest(n_chars, 1) AS letter_milli,
+       (1000 * (n_chars - n_letters - n_digits - n_spaces))
+         // greatest(n_chars, 1) AS other_milli
+FROM c
+"""
+
+
 def q_complexity_signals(spark, sf_dir):
     """Rows-only by nature: DEFLATE length is not SQL-expressible
     (the bloc_transformer precedent); kernel goldens carry the value
@@ -3959,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": q_crawl_delays,
         "regdomain_stats": q_regdomain_stats,
         "robots_sitemaps": q_robots_sitemaps,
+        "char_profile": q_char_profile,
         "stream_band_dedup": q_stream_band_dedup,
         "normalized_dedup": q_normalized_dedup,
         "domain_top_terms": q_domain_top_terms,
@@ -4675,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         txt=_ROBOTS_TXT_SQL)
     out["robots_sitemaps"] = _SITEMAPS_ORACLE.format(
         txt=_ROBOTS_TXT_SQL)
+    out["char_profile"] = _CHAR_PROFILE_ORACLE
     out["normalized_dedup"] = _normalized_dedup_oracle()
     out["domain_top_terms"] = _DOMAIN_TERMS_ORACLE
     out["inverted_index"] = _INVERTED_INDEX_ORACLE

@@ -126,7 +126,7 @@ def main() -> None:
                 "skew_stats", "length_quantiles", "intra_line_dedup",
                 "domain_hll", "canonical_dedup", "cluster_balance",
                 "host_label_prop", "host_degrees", "crawl_delays",
-                "regdomain_stats", "robots_sitemaps"]
+                "regdomain_stats", "robots_sitemaps", "char_profile"]
     for name in headline:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 

@@ -1470,3 +1470,32 @@ def hll_distinct_by(df: DataFrame, group_col: str, col: str,
     est = (alpha * F.lit(float(m * m)) * F.lit(float(1 << rmax))
            / F.col("s_scaled").cast("double"))
     return out.withColumn("estimate", est)
+
+
+def char_profile(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_letters, n_digits, n_spaces, n_other,
+    letter_milli, other_milli): character-class composition — the
+    symbol-soup detector (binary-ish payloads, markup residue, and
+    ASCII-art pages all show low letter share / high other share
+    before any tokenizer runs). ASCII classes only, deliberately:
+    [a-zA-Z]/[0-9]/[ ] mean the same thing to Java regex and RE2, so
+    the oracle is exact; non-ASCII lands in n_other (for Latin-heavy
+    corpora that doubles as a rough foreign-script share). Pure
+    codegen, rides the scan."""
+    t = F.col(text_col)
+    n = F.length(t).cast("bigint")
+    letters = F.regexp_count(t, F.lit("[a-zA-Z]")).cast("bigint")
+    digits = F.regexp_count(t, F.lit("[0-9]")).cast("bigint")
+    spaces = F.regexp_count(t, F.lit("[ ]")).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"), n.alias("n_chars"),
+        letters.alias("n_letters"), digits.alias("n_digits"),
+        spaces.alias("n_spaces"),
+        (n - letters - digits - spaces).alias("n_other"))
+    return base.select(
+        "*",
+        F.expr("(1000 * n_letters) div greatest(n_chars, 1L)")
+        .alias("letter_milli"),
+        F.expr("(1000 * n_other) div greatest(n_chars, 1L)")
+        .alias("other_milli"))

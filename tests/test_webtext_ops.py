@@ -764,3 +764,27 @@ def test_regdomain_rollup_collapses_subdomains(spark):
                 F.countDistinct("host").alias("n_hosts")).collect()}
     assert got["example.co.uk"] == (3, 3)   # three hosts, one site
     assert got["other.com"] == (1, 1)
+
+
+def test_char_profile_classes(spark):
+    from edspdf_spark.operators.analysis import char_profile
+    df = spark.createDataFrame(
+        [(1, "abc DE 12!?"), (2, ""), (3, "héllo")],
+        "doc_id long, text string")
+    got = {r.id: r for r in char_profile(df).collect()}
+    r = got[1]
+    assert (r.n_chars, r.n_letters, r.n_digits, r.n_spaces,
+            r.n_other) == (11, 5, 2, 2, 2)
+    assert r.letter_milli == 1000 * 5 // 11
+    z = got[2]
+    assert z.n_chars == 0 and z.letter_milli == 0 and z.other_milli == 0
+    # non-ASCII letter counts as 'other' (documented ASCII classes)
+    assert got[3].n_letters == 4 and got[3].n_other == 1
+
+
+def test_char_profile_plan_zero_shuffle(spark):
+    from edspdf_spark.operators.analysis import char_profile
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = char_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
