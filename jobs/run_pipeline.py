@@ -21,7 +21,14 @@ markers under <output>/_progress (plans/checkpoint.py).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# plain `python jobs/run_pipeline.py` puts jobs/ (not the repo) on
+# sys.path; spark-submit --py-files covers executors, this covers the
+# driver either way (same stanza as run_webtext/run_refresh)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def parse_masks(spec: str):
