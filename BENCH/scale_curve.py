@@ -54,7 +54,9 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "domain_top_terms", "inverted_index", "cooc_pmi",
            "dataset_card", "bm25_topk", "edit_verified", "skew_stats",
            "length_quantiles", "intra_line_dedup", "domain_hll",
-           "canonical_dedup", "cluster_balance"]
+           "canonical_dedup", "cluster_balance", "host_label_prop",
+           "host_degrees", "crawl_delays", "regdomain_stats",
+           "robots_sitemaps", "char_profile"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
