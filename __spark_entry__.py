@@ -3903,7 +3903,55 @@ def q_bloom_filter(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver verifies the FIRST 50 entries only
+    # (CORRECTNESS window). Never-driver-checked queries lead; the
+    # long-green round-1/2 suite rotates to the back (VERDICT r3 #1).
     return {
+        "multimodal_meta": q_multimodal_meta,
+        "html_extract": q_html_extract,
+        "bloc_embed": q_bloc_embed,
+        "bloc_cnn_pool": q_bloc_cnn_pool,
+        "bloc_hf_embed": q_bloc_hf_embed,
+        "bloc_transformer": q_bloc_transformer,
+        "trainable_classify": q_trainable_classify,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "anchor_terms": q_anchor_terms,
+        "host_label_prop": q_host_label_prop,
+        "host_degrees": q_host_degrees,
+        "bloom_filter": q_bloom_filter,
+        "chunk_windows": q_chunk_windows,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "paragraph_classify": q_paragraph_classify,
+        "snapshot_diff": q_snapshot_diff,
+        "fix_mojibake": q_fix_mojibake,
+        "containment_pairs": q_containment_pairs,
+        "registered_domain": q_registered_domain,
+        "html_meta": q_html_meta,
+        "canonical_dedup": q_canonical_dedup,
+        "cluster_balance": q_cluster_balance,
+        "dedup_keep_best": q_dedup_keep_best,
+        "crawl_schedule": q_crawl_schedule,
+        "complexity_signals": q_complexity_signals,
+        "robots_filter": q_robots_filter,
+        "crawl_delays": q_crawl_delays,
+        "regdomain_stats": q_regdomain_stats,
+        "robots_sitemaps": q_robots_sitemaps,
+        "char_profile": q_char_profile,
+        "stream_band_dedup": q_stream_band_dedup,
+        "normalized_dedup": q_normalized_dedup,
+        "domain_top_terms": q_domain_top_terms,
+        "inverted_index": q_inverted_index,
+        "cooc_pmi": q_cooc_pmi,
+        "dataset_card": q_dataset_card,
+        "bm25_topk": q_bm25_topk,
+        "edit_verified": q_edit_verified,
+        "skew_stats": q_skew_stats,
+        "length_quantiles": q_length_quantiles,
+        "intra_line_dedup": q_intra_line_dedup,
+        "domain_hll": q_domain_hll,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
         "pipeline_body_text": q_pipeline_body_text,
         "extract_blocs": q_extract_blocs,
         "staged_pipeline": q_staged_pipeline,
@@ -3954,51 +4002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "hll_distinct": q_hll_distinct,
         "cm_sketch": q_cm_sketch,
-        "multimodal_meta": q_multimodal_meta,
-        "html_extract": q_html_extract,
-        "bloc_embed": q_bloc_embed,
-        "bloc_cnn_pool": q_bloc_cnn_pool,
-        "bloc_hf_embed": q_bloc_hf_embed,
-        "bloc_transformer": q_bloc_transformer,
-        "trainable_classify": q_trainable_classify,
-        "link_graph": q_link_graph,
-        "host_pagerank": q_host_pagerank,
-        "anchor_terms": q_anchor_terms,
-        "host_label_prop": q_host_label_prop,
-        "host_degrees": q_host_degrees,
-        "bloom_filter": q_bloom_filter,
-        "chunk_windows": q_chunk_windows,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "paragraph_classify": q_paragraph_classify,
-        "snapshot_diff": q_snapshot_diff,
-        "fix_mojibake": q_fix_mojibake,
-        "containment_pairs": q_containment_pairs,
-        "registered_domain": q_registered_domain,
-        "html_meta": q_html_meta,
-        "canonical_dedup": q_canonical_dedup,
-        "cluster_balance": q_cluster_balance,
-        "dedup_keep_best": q_dedup_keep_best,
-        "crawl_schedule": q_crawl_schedule,
-        "complexity_signals": q_complexity_signals,
-        "robots_filter": q_robots_filter,
-        "crawl_delays": q_crawl_delays,
-        "regdomain_stats": q_regdomain_stats,
-        "robots_sitemaps": q_robots_sitemaps,
-        "char_profile": q_char_profile,
-        "stream_band_dedup": q_stream_band_dedup,
-        "normalized_dedup": q_normalized_dedup,
-        "domain_top_terms": q_domain_top_terms,
-        "inverted_index": q_inverted_index,
-        "cooc_pmi": q_cooc_pmi,
-        "dataset_card": q_dataset_card,
-        "bm25_topk": q_bm25_topk,
-        "edit_verified": q_edit_verified,
-        "skew_stats": q_skew_stats,
-        "length_quantiles": q_length_quantiles,
-        "intra_line_dedup": q_intra_line_dedup,
-        "domain_hll": q_domain_hll,
-        "events_hourly": q_events_hourly,
-        "tpch_q1": q_tpch_q1,
     }
 
 
