@@ -2966,10 +2966,16 @@ FROM ctx
 """
 
 
+# Injected synthetic ids (excerpts, bloom probes, snapshot re-adds,
+# normalized mirrors) live at doc_id + k*10^15 — three orders of
+# magnitude above the 10^12-doc design scale, so they can never alias
+# real doc_ids (r3 ADVICE: the old +2e6 offsets collided past ~2M
+# docs). Kept ABOVE the real key space (not negative) so min-id keep
+# rules still prefer the original over its injected copy.
 CORPUS_EXCERPT_SQL = """
   (SELECT doc_id, text FROM documents
    UNION ALL
-   SELECT doc_id + 2000000 AS doc_id, substr(text, 1, 120) AS text
+   SELECT doc_id + 2000000000000000 AS doc_id, substr(text, 1, 120) AS text
    FROM documents WHERE doc_id % 9 = 0)
 """
 
@@ -2992,7 +2998,7 @@ def q_containment_pairs(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     exc = (d.where(F.col("doc_id") % 9 == 0)
-           .select((F.col("doc_id") + 2000000).alias("doc_id"),
+           .select((F.col("doc_id") + 2000000000000000).alias("doc_id"),
                    F.expr("substr(text, 1, 120)").alias("text")))
     sh = shingle_table(d.unionByName(exc), k=3)
     return containment_pairs(sh, threshold=0.7, min_intersect=3)
@@ -3135,7 +3141,7 @@ CASE WHEN doc_id % 5 = 3
        || 'Crawl-delay: 5'
        || CASE WHEN doc_id % 2 = 1
                THEN chr(10) || 'User-agent: spark-graft' || chr(10)
-                 || 'Disallow: /tmp/' || chr(10) || 'Crawl-delay: 2'
+                 || 'Disallow: /tmp/' || chr(10) || 'Crawl-delay: 7'
                ELSE '' END
        || CASE WHEN doc_id % 4 = 1
                THEN chr(10) || 'Disallow: /x*y' || chr(10)
@@ -3217,11 +3223,16 @@ grp AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS group_id
   FROM prevs),
+uas0 AS (
+  SELECT host, group_id,
+         bool_or(lower(value) = 'spark-graft') AS lit_match,
+         bool_or(value = '*') AS star_match
+  FROM grp WHERE is_ua = 1 GROUP BY host, group_id),
 uas AS (
   SELECT host, group_id,
-         bool_or(lower(value) = 'spark-graft' OR value = '*')
-           AS applies
-  FROM grp WHERE is_ua = 1 GROUP BY host, group_id),
+         lit_match OR (star_match AND NOT
+           bool_or(lit_match) OVER (PARTITION BY host)) AS applies
+  FROM uas0),
 rules AS (
   SELECT g.host, g.directive = 'allow' AS is_allow,
          g.value AS rule_path,
@@ -3262,7 +3273,7 @@ LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
 _NORM_MIRROR_SQL = """
   (SELECT doc_id, text FROM documents
    UNION ALL
-   SELECT doc_id + 4000000 AS doc_id,
+   SELECT doc_id + 4000000000000000 AS doc_id,
           upper(replace(text, ' ', ' ')) || '  ' AS text
    FROM documents WHERE doc_id % 6 = 0)
 """
@@ -3273,7 +3284,7 @@ def q_normalized_dedup(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     mirror = d.where(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 4000000).alias("doc_id"),
+        (F.col("doc_id") + 4000000000000000).alias("doc_id"),
         F.expr("upper(replace(text, ' ', ' ')) || '  '")
         .alias("text"))
     corpus = d.unionByName(mirror)
@@ -3674,11 +3685,16 @@ grp AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS group_id
   FROM prevs),
+uas0 AS (
+  SELECT host, group_id,
+         bool_or(lower(value) = 'spark-graft') AS lit_match,
+         bool_or(value = '*') AS star_match
+  FROM grp WHERE is_ua = 1 GROUP BY host, group_id),
 uas AS (
   SELECT host, group_id,
-         bool_or(lower(value) = 'spark-graft' OR value = '*')
-           AS applies
-  FROM grp WHERE is_ua = 1 GROUP BY host, group_id)
+         lit_match OR (star_match AND NOT
+           bool_or(lit_match) OVER (PARTITION BY host)) AS applies
+  FROM uas0)
 SELECT g.host,
        CAST(min(CAST(g.value AS BIGINT)) AS BIGINT) AS crawl_delay_s
 FROM grp g JOIN uas u ON g.host = u.host AND g.group_id = u.group_id
@@ -3840,7 +3856,7 @@ def q_snapshot_diff(spark, sf_dir):
                    .otherwise(F.col("text")).alias("text"))
            .unionByName(
                d.where(F.col("doc_id") % 10 == 0)
-               .select((F.col("doc_id") + 3000000).alias("doc_id"),
+               .select((F.col("doc_id") + 3000000000000000).alias("doc_id"),
                        "text")))
     return snapshot_diff(old, new, key_col="doc_id")
 
@@ -3894,7 +3910,7 @@ def q_bloom_filter(spark, sf_dir):
         F.col("doc_id").alias("probe_id"), F.col("text").alias("probe"),
         F.lit(True).alias("actual"))
     absent = d.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 2000000).alias("probe_id"),
+        (F.col("doc_id") + 2000000000000000).alias("probe_id"),
         F.concat(F.col("text"), F.lit("-absent-")).alias("probe"),
         F.lit(False).alias("actual"))
     probes = present.unionByName(absent)
@@ -4576,7 +4592,7 @@ new AS (
                   ELSE text END) AS new_md5
   FROM documents WHERE doc_id % 13 <> 0
   UNION ALL
-  SELECT doc_id + 3000000, md5(text) FROM documents
+  SELECT doc_id + 3000000000000000, md5(text) FROM documents
   WHERE doc_id % 10 = 0)
 SELECT COALESCE(o.key, n.key) AS key,
        CASE WHEN o.old_md5 IS NULL THEN 'added'
@@ -4604,7 +4620,7 @@ probes AS (
   SELECT doc_id AS probe_id, text AS probe, TRUE AS actual
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 2000000, text || '-absent-', FALSE
+  SELECT doc_id + 2000000000000000, text || '-absent-', FALSE
   FROM documents WHERE doc_id % 11 = 0),
 ppos AS (
   SELECT probe_id, actual,
@@ -4624,9 +4640,12 @@ FROM hits GROUP BY probe_id, actual
 """
 
 # overlapping token windows: chunk c covers tokens [48c, 48c+64);
-# last chunk = first whose end reaches the doc end. The fixed 0..4096
-# series + filter stands in for a correlated generate_series (DuckDB
-# 1.0 lacks lateral args).
+# last chunk = first whose end reaches the doc end. A data-sized
+# 0..max(n_chunks) series + filter stands in for a correlated
+# generate_series (DuckDB 1.0 lacks lateral args); the bound is a
+# scalar subquery, so no document can outgrow the enumeration
+# (r3 ADVICE: the old fixed 0..4096 silently truncated >196k-token
+# docs).
 _ORACLES["chunk_windows"] = """
 WITH toks AS (
   SELECT doc_id AS id,
@@ -4638,7 +4657,8 @@ base AS (
               ELSE 1 + (greatest(len(toks) - 64, 0) + 47) // 48
          END AS n_chunks
   FROM toks),
-js AS (SELECT unnest(generate_series(0, 4096)) AS c)
+js AS (SELECT unnest(generate_series(
+         0, (SELECT CAST(max(n_chunks) AS BIGINT) FROM base))) AS c)
 SELECT id, CAST(c AS BIGINT) AS chunk_idx,
        CAST(n_chunks AS BIGINT) AS n_chunks,
        CAST(c * 48 AS BIGINT) AS start, n_tokens,

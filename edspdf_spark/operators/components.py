@@ -161,11 +161,14 @@ def keep_best_per_cluster(corpus: DataFrame, pairs: DataFrame,
     quality capture, drop its mirrors).
 
     `scores` is (id_col, score:BIGINT) — integer so the argmax is
-    exact. Winner selection is a struct-max (score, -id): a partial
-    aggregate with map-side combine, not a window sort. Plan shape:
-    corpus joins scores on id (usually collapses — scores are
-    derived from the same scan), one component-keyed aggregation of
-    (component, best) pairs, one join back on component.
+    exact. Winner selection is a struct-MIN over (-score, id): a
+    partial aggregate with map-side combine, not a window sort, and —
+    unlike negating the id — it orders (score DESC, id ASC) for ANY
+    orderable id type (string urls included, matching
+    dedup_keep_list; r3 ADVICE). Plan shape: corpus joins scores on
+    id (usually collapses — scores are derived from the same scan),
+    one component-keyed aggregation of (component, best) pairs, one
+    join back on component.
     """
     comp = connected_components(pairs)
     all_ids = corpus.select(F.col(id_col).alias("id"))
@@ -176,9 +179,9 @@ def keep_best_per_cluster(corpus: DataFrame, pairs: DataFrame,
                        F.col("score").cast("bigint").alias("score"))
     j = labeled.join(sc, "id")
     best = (j.groupBy("component")
-            .agg(F.max(F.struct(F.col("score").alias("s"),
-                                (-F.col("id")).alias("negid")))
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("id").alias("i")))
                  .alias("b")))
     return (j.join(best, "component")
             .select("id", "component", "score",
-                    (F.col("id") == -F.col("b.negid")).alias("keep")))
+                    (F.col("id") == F.col("b.i")).alias("keep")))

@@ -110,34 +110,50 @@ def host_pagerank(edges: DataFrame, iterations: int = 4,
     nodes = (e.select(F.col("src_host").alias("host"))
              .union(e.select(F.col("dst_host").alias("host")))
              .distinct().persist())
-    n_hosts = nodes.count()
-    outdeg = e.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "src_host").persist()
+    try:
+        n_hosts = nodes.count()
+        outdeg = e.groupBy("src_host").agg(
+            F.count(F.lit(1)).alias("outdeg"))
+        e_deg = e.join(outdeg, "src_host").persist()
 
-    r0 = scale // n_hosts
-    teleport = (100 - damping_pct) * r0 // 100
-    ranks = nodes.select("host", F.lit(r0).cast("bigint")
-                         .alias("rank_scaled"))
-    for _ in range(iterations):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (e_deg
-                   .join(r, e_deg.src_host == r.host)
-                   .select(F.col("dst_host").alias("host"),
-                           F.expr("rank_scaled div outdeg").alias("c"))
-                   .groupBy("host")
-                   .agg(F.sum("c").alias("contrib")))
-        ranks = (nodes.join(contrib, "host", "left")
-                 .select("host",
-                         F.expr(f"{teleport}L + ({damping_pct}L * "
-                                f"coalesce(contrib, 0L)) div 100")
-                         .alias("rank_scaled")))
-        if checkpoint:  # truncate lineage between iterations
-            ranks = ranks.localCheckpoint(eager=False)
-    out = ranks.select(
-        "host", "rank_scaled",
-        (F.col("rank_scaled").cast("double") / F.lit(float(scale)))
-        .alias("rank"))
-    return out
+        r0 = scale // n_hosts
+        teleport = (100 - damping_pct) * r0 // 100
+        ranks = nodes.select("host", F.lit(r0).cast("bigint")
+                             .alias("rank_scaled"))
+        for _ in range(iterations):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            contrib = (e_deg
+                       .join(r, e_deg.src_host == r.host)
+                       .select(F.col("dst_host").alias("host"),
+                               F.expr("rank_scaled div outdeg")
+                               .alias("c"))
+                       .groupBy("host")
+                       .agg(F.sum("c").alias("contrib")))
+            ranks = (nodes.join(contrib, "host", "left")
+                     .select("host",
+                             F.expr(f"{teleport}L + ({damping_pct}L * "
+                                    f"coalesce(contrib, 0L)) div 100")
+                             .alias("rank_scaled")))
+            if checkpoint:  # truncate lineage between iterations
+                ranks = ranks.localCheckpoint(eager=False)
+        out = ranks.select(
+            "host", "rank_scaled",
+            (F.col("rank_scaled").cast("double") / F.lit(float(scale)))
+            .alias("rank"))
+        # one row per host — materialize it so the cached edge tables
+        # can be released NOW instead of leaking across a session of
+        # many queries (r3 ADVICE); same pattern as components.py.
+        # checkpoint=False = fully-lazy mode (plan inspection): the
+        # caller owns the action, so the caches must stay live.
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        if checkpoint:
+            for df in (e, nodes):
+                df.unpersist()
+            try:
+                e_deg.unpersist()
+            except NameError:  # raised before e_deg was built
+                pass
 
 
 # --- anchor text -----------------------------------------------------------
@@ -253,27 +269,35 @@ def host_label_propagation(edges: DataFrame, seeds: DataFrame,
                                F.lit(scale // 2))
                     .cast("bigint").alias("score_scaled"))
             .persist())
-    scores = base.select("host", "score_scaled")
-    for _ in range(iterations):
-        r = F.broadcast(scores)
-        inbound = (e.join(r, e.src_host == r.host)
-                   .groupBy(F.col("dst_host").alias("host"))
-                   .agg(F.sum("score_scaled").alias("s"),
-                        F.count(F.lit(1)).alias("n")))
-        scores = (base.join(inbound, "host", "left")
-                  .select("host",
-                          F.when(F.col("seed").isNotNull(),
-                                 (F.col("seed") * scale).cast("bigint"))
-                          .when(F.col("s").isNotNull(),
-                                F.expr("s div n").cast("bigint"))
-                          .otherwise(F.col("score_scaled"))
-                          .alias("score_scaled")))
-        scores = scores.localCheckpoint(eager=False)
-    verdict = (F.when(F.col("score_scaled") > hi_milli, F.lit("spam"))
-               .when(F.col("score_scaled") < lo_milli, F.lit("ham"))
-               .otherwise(F.lit("unknown")))
-    return scores.select("host", "score_scaled",
-                         verdict.alias("verdict"))
+    try:
+        scores = base.select("host", "score_scaled")
+        for _ in range(iterations):
+            r = F.broadcast(scores)
+            inbound = (e.join(r, e.src_host == r.host)
+                       .groupBy(F.col("dst_host").alias("host"))
+                       .agg(F.sum("score_scaled").alias("s"),
+                            F.count(F.lit(1)).alias("n")))
+            scores = (base.join(inbound, "host", "left")
+                      .select("host",
+                              F.when(F.col("seed").isNotNull(),
+                                     (F.col("seed") * scale)
+                                     .cast("bigint"))
+                              .when(F.col("s").isNotNull(),
+                                    F.expr("s div n").cast("bigint"))
+                              .otherwise(F.col("score_scaled"))
+                              .alias("score_scaled")))
+            scores = scores.localCheckpoint(eager=False)
+        verdict = (F.when(F.col("score_scaled") > hi_milli,
+                          F.lit("spam"))
+                   .when(F.col("score_scaled") < lo_milli, F.lit("ham"))
+                   .otherwise(F.lit("unknown")))
+        # per-host result — materialize, then release the caches
+        return scores.select("host", "score_scaled",
+                             verdict.alias("verdict")
+                             ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        base.unpersist()
 
 
 def host_degrees(edges: DataFrame) -> DataFrame:
@@ -288,25 +312,30 @@ def host_degrees(edges: DataFrame) -> DataFrame:
     the corpus) + two degree aggregations merged by full outer join.
     """
     e = edges.select("src_host", "dst_host").distinct().persist()
-    out_deg = e.groupBy(F.col("src_host").alias("host")).agg(
-        F.count(F.lit(1)).alias("out_deg"))
-    in_deg = e.groupBy(F.col("dst_host").alias("host")).agg(
-        F.count(F.lit(1)).alias("in_deg"))
-    rev = e.select(F.col("src_host").alias("dst_host"),
-                   F.col("dst_host").alias("src_host"))
-    recip = (e.join(rev, ["src_host", "dst_host"])
-             .groupBy(F.col("src_host").alias("host"))
-             .agg(F.count(F.lit(1)).alias("reciprocal")))
-    base = (out_deg.join(in_deg, "host", "full_outer")
-            .join(recip, "host", "left")
-            .select("host",
-                    F.coalesce("out_deg", F.lit(0)).cast("bigint")
-                    .alias("out_deg"),
-                    F.coalesce("in_deg", F.lit(0)).cast("bigint")
-                    .alias("in_deg"),
-                    F.coalesce("reciprocal", F.lit(0)).cast("bigint")
-                    .alias("reciprocal")))
-    return base.withColumn(
-        "recip_milli",
-        F.expr("CASE WHEN out_deg = 0 THEN 0L "
-               "ELSE (1000 * reciprocal) div out_deg END"))
+    try:
+        out_deg = e.groupBy(F.col("src_host").alias("host")).agg(
+            F.count(F.lit(1)).alias("out_deg"))
+        in_deg = e.groupBy(F.col("dst_host").alias("host")).agg(
+            F.count(F.lit(1)).alias("in_deg"))
+        rev = e.select(F.col("src_host").alias("dst_host"),
+                       F.col("dst_host").alias("src_host"))
+        recip = (e.join(rev, ["src_host", "dst_host"])
+                 .groupBy(F.col("src_host").alias("host"))
+                 .agg(F.count(F.lit(1)).alias("reciprocal")))
+        base = (out_deg.join(in_deg, "host", "full_outer")
+                .join(recip, "host", "left")
+                .select("host",
+                        F.coalesce("out_deg", F.lit(0)).cast("bigint")
+                        .alias("out_deg"),
+                        F.coalesce("in_deg", F.lit(0)).cast("bigint")
+                        .alias("in_deg"),
+                        F.coalesce("reciprocal", F.lit(0))
+                        .cast("bigint").alias("reciprocal")))
+        # per-host result — materialize, then release the edge cache
+        return base.withColumn(
+            "recip_milli",
+            F.expr("CASE WHEN out_deg = 0 THEN 0L "
+                   "ELSE (1000 * reciprocal) div out_deg END")
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

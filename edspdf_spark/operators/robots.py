@@ -5,10 +5,13 @@ specific path wins; on a length tie, allow wins; no rule -> allowed).
 
 Subset contract (documented, mirrored exactly by the oracle): prefix
 rules only — the `*` wildcard and `$` anchor extensions are not
-interpreted (their rules are skipped); group matching recognizes the
-literal agent token and `*`; directives are matched case-insensitively;
-values are taken verbatim to end-of-line (after stripping CR and
-inline spaces).
+interpreted (their rules are skipped); group matching follows RFC 9309
+§2.2.1 specificity: when any group on a host names the literal agent
+token, ONLY those groups apply and `*` groups are ignored — `*` groups
+apply only on hosts with no literal-agent group (merging both would
+let a long `Allow:` in the `*` group override an agent-specific
+Disallow); directives are matched case-insensitively; values are taken
+verbatim to end-of-line (after stripping CR and inline spaces).
 
 Scale shape: robots files are one small row per host — the entire
 parse (split/explode + two running-sum windows partitioned by host) is
@@ -29,7 +32,9 @@ def _parsed_groups(robots: DataFrame, agent: str, host_col: str,
                    text_col: str):
     """Shared robots.txt front half: comment-stripped directive/value
     lines with RFC group ids, plus the per-group applicability table
-    for `agent` (matches the literal token or '*')."""
+    for `agent`. RFC 9309 §2.2.1 most-specific-group: a group applies
+    when it names the literal agent token, or when it is a '*' group
+    AND the host has no literal-agent group at all."""
     agent = agent.lower()
     lines = (robots.select(
         F.col(host_col).alias("host"),
@@ -60,10 +65,20 @@ def _parsed_groups(robots: DataFrame, agent: str, host_col: str,
     grouped = parsed.withColumn(
         "group_id", F.sum(new_group).over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-    uas = (grouped.where(is_ua)
-           .groupBy("host", "group_id")
-           .agg(F.max((F.lower(F.col("value")) == agent) |
-                      (F.col("value") == "*")).alias("applies")))
+    per_group = (grouped.where(is_ua)
+                 .groupBy("host", "group_id")
+                 .agg(F.max(F.lower(F.col("value")) == agent)
+                      .alias("lit_match"),
+                      F.max(F.col("value") == "*").alias("star_match")))
+    # '*' groups count only on hosts with no literal-agent group
+    # (RFC 9309 §2.2.1). The per-host bool is a window over the tiny
+    # group table (rows ~ groups per robots file), not the frontier.
+    has_specific = F.max("lit_match").over(Window.partitionBy("host"))
+    uas = (per_group
+           .withColumn("applies",
+                       F.col("lit_match") |
+                       (F.col("star_match") & ~has_specific))
+           .select("host", "group_id", "applies"))
     return grouped, uas
 
 

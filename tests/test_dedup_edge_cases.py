@@ -144,6 +144,32 @@ def test_keep_best_tie_breaks_to_smallest_id(spark):
     assert got == {5: True, 9: False}
 
 
+def test_keep_best_works_with_string_ids(spark):
+    """String doc ids (urls) must order correctly in the winner
+    struct — the old -id negation only worked for numerics (r3
+    ADVICE). Ties break to the lexicographically smallest id."""
+    from edspdf_spark.operators.components import keep_best_per_cluster
+    corpus = spark.createDataFrame(
+        [("https://a.com/x",), ("https://b.com/x",), ("https://c.com/solo",)],
+        "doc_id string")
+    pairs = spark.createDataFrame(
+        [("https://a.com/x", "https://b.com/x")], "id_a string, id_b string")
+    scores = spark.createDataFrame(
+        [("https://a.com/x", 3), ("https://b.com/x", 7),
+         ("https://c.com/solo", 1)], "doc_id string, score long")
+    got = {r.id: r.keep for r in
+           keep_best_per_cluster(corpus, pairs, scores).collect()}
+    assert got == {"https://a.com/x": False, "https://b.com/x": True,
+                   "https://c.com/solo": True}
+    # tie: smallest id wins, string order
+    scores2 = spark.createDataFrame(
+        [("https://a.com/x", 7), ("https://b.com/x", 7),
+         ("https://c.com/solo", 1)], "doc_id string, score long")
+    got2 = {r.id: r.keep for r in
+            keep_best_per_cluster(corpus, pairs, scores2).collect()}
+    assert got2["https://a.com/x"] and not got2["https://b.com/x"]
+
+
 # --- edit_verified_pairs ---------------------------------------------------
 
 def test_edit_verification_separates_true_and_false_candidates(spark):

@@ -43,6 +43,27 @@ def test_agent_match_case_insensitive_star_fallback(spark):
     assert _rules(spark, txt, agent="somebody-else") == []
 
 
+def test_specific_group_excludes_star_group(spark):
+    """RFC 9309 §2.2.1: when a host has a literal-agent group, '*'
+    groups are inapplicable — a long Allow in the '*' group must not
+    override the agent-specific Disallow (r3 ADVICE)."""
+    txt = ("User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/pub/\n"
+           "User-agent: bot\n"
+           "Disallow: /private/pub/\n")
+    assert _rules(spark, txt) == [(False, "/private/pub/")]
+    robots = spark.createDataFrame([("h.com", txt)],
+                                   "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [("https://h.com/private/pub/x",), ("https://h.com/private/a",)],
+        "url string")
+    v = {r.url: r for r in robots_verdicts(
+        frontier, robots_rules(robots, agent="bot")).collect()}
+    assert not v["https://h.com/private/pub/x"].allowed
+    assert v["https://h.com/private/a"].allowed   # '*' group ignored
+
+
 def test_wildcard_and_empty_rules_skipped(spark):
     txt = ("User-agent: *\n"
            "Disallow: /x*y\n"
