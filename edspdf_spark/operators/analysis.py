@@ -15,7 +15,10 @@ from pyspark.sql import functions as F  # noqa: N812
 from ..functions import CODE_MOD, code15, tokens
 
 # tiny per-language stopword lists for the n-gram-free heuristic;
-# deterministic argmax order = list order here
+# deterministic argmax order = list order here. 16 languages: the
+# lang_id kernel's cost is one Counter pass per doc + a fixed dict
+# walk, so growing this pack further (fastText ships 170+) adds no
+# per-token work.
 LANG_STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
     "fr": ["le", "la", "de", "et", "un"],
@@ -25,11 +28,15 @@ LANG_STOPWORDS = {
     "pt": ["o", "de", "que", "e", "do"],
     "nl": ["de", "het", "een", "van", "en"],
     "pl": ["i", "w", "na", "z", "do"],
+    "sv": ["och", "att", "det", "som", "en"],
+    "da": ["og", "det", "at", "en", "til"],
+    "no": ["og", "det", "er", "som", "en"],
+    "fi": ["ja", "on", "ei", "oli", "se"],
+    "ro": ["si", "de", "la", "cu", "un"],
+    "cs": ["a", "je", "se", "na", "to"],
+    "hu": ["a", "az", "es", "hogy", "nem"],
+    "tr": ["ve", "bir", "bu", "da", "ne"],
 }
-
-
-def _count_token(toks, word: str):
-    return F.size(F.filter(toks, lambda t: t == word))
 
 
 def text_quality(df: DataFrame, id_col: str = "doc_id",
@@ -39,10 +46,11 @@ def text_quality(df: DataFrame, id_col: str = "doc_id",
     needs no tokenizer and is engine-portable)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
-    stop_hits = None
-    for w in LANG_STOPWORDS["en"]:
-        c = _count_token(toks, w)
-        stop_hits = c if stop_hits is None else stop_hits + c
+    # ONE filter pass with a set-membership check — the old form
+    # summed one F.filter scan PER stopword, and HOF lambdas get no
+    # cross-lambda CSE (r3 VERDICT: 5x the interpreted array passes)
+    en = list(LANG_STOPWORDS["en"])
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*en)))
     subwords = F.aggregate(
         toks, F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"))
@@ -95,27 +103,74 @@ def token_count(df: DataFrame, id_col: str = "doc_id",
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Stopword-voting language ID with deterministic tie-break
-    (language list order). Returns (id, lang_pred, vote_<lang>...)."""
-    toks = tokens(F.col(text_col))
-    votes = {}
-    for lang, words in LANG_STOPWORDS.items():
-        v = None
-        for w in words:
-            c = _count_token(toks, w)
-            v = c if v is None else v + c
-        votes[lang] = v
+    (language list order). Returns (id, lang_pred, vote_<lang>...).
+
+    Doc-local Arrow kernel (mapInArrow straight on the scan
+    partitions — zero shuffle, like gopher_repetition): one token
+    Counter per doc, then a fixed walk of the stopword->language
+    table. Cost is O(tokens + vocabulary) per doc and FLAT in the
+    number of languages. The previous formulation summed one
+    interpreted F.filter array scan per (language, stopword) —
+    O(langs x stopwords x tokens) with no cross-lambda CSE — and was
+    the r3 bench regression (1.0 s -> 2.5 s when the pack doubled);
+    a 170-language fastText-style pack would have been ~40x slower
+    still.
+
+    Exact semantics shared with the DuckDB oracle: tokens = split on
+    single space minus empties; vote_l = occurrences of l's
+    stopwords; argmax first-wins in LANG_STOPWORDS order; NULL text
+    -> NULL votes and lang_pred = first language (the CASE-chain
+    null semantics of the oracle)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
     langs = list(LANG_STOPWORDS)
-    # argmax with first-wins tie-break, expressed as chained CASE
-    best = F.lit(langs[0])
-    best_v = votes[langs[0]]
-    for lang in langs[1:]:
-        cond = votes[lang] > best_v
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_v = F.when(cond, votes[lang]).otherwise(best_v)
-    cols = [F.col(id_col).alias("id"), best.alias("lang_pred")]
-    cols += [votes[lang].cast("bigint").alias(f"vote_{lang}")
-             for lang in langs]
-    return df.select(*cols)
+    # stopword -> indexes of every language that lists it ('de', 'la',
+    # 'en'... appear in several packs; each gets the same count)
+    word_langs: dict[str, list[int]] = {}
+    for li, words in enumerate(LANG_STOPWORDS.values()):
+        for w in words:
+            word_langs.setdefault(w, []).append(li)
+    out_schema = StructType(
+        [StructField("id", df.schema[id_col].dataType),
+         StructField("lang_pred", StringType())]
+        + [StructField(f"vote_{lang}", LongType()) for lang in langs])
+
+    def fn(batches):
+        from collections import Counter
+
+        n_langs = len(langs)
+        for batch in batches:
+            ids = batch.column(id_col)
+            texts = batch.column(text_col).to_pylist()
+            votes: list[list] = [[0] * n_langs for _ in texts]
+            preds = []
+            for r, text in enumerate(texts):
+                if text is None:
+                    votes[r] = [None] * n_langs
+                    preds.append(langs[0])
+                    continue
+                cnt = Counter(text.split(" "))
+                row = votes[r]
+                for w, lis in word_langs.items():
+                    c = cnt.get(w)
+                    if c:
+                        for li in lis:
+                            row[li] += c
+                bi = 0
+                for li in range(1, n_langs):
+                    if row[li] > row[bi]:
+                        bi = li
+                preds.append(langs[bi])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(preds, pa.string())]
+                + [pa.array([v[li] for v in votes], pa.int64())
+                   for li in range(n_langs)],
+                names=["id", "lang_pred"]
+                + [f"vote_{lang}" for lang in langs])
+
+    return df.select(id_col, text_col).mapInArrow(fn, schema=out_schema)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",

@@ -76,14 +76,25 @@ def test_dedup_exact_single_shuffle(spark, tmp_path_factory):
 
 
 def test_analysis_ops_are_pythonless(spark):
-    from edspdf_spark.operators.analysis import (fingerprint, lang_id,
-                                                 text_quality)
+    from edspdf_spark.operators.analysis import fingerprint, text_quality
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for op in (text_quality, lang_id, fingerprint):
+    for op in (text_quality, fingerprint):
         plan = _plan(op(docs))
         assert "EvalPython" not in plan, (op.__name__, plan)
         assert "Exchange" not in plan, (op.__name__, plan)  # pure map
+
+
+def test_lang_id_is_scan_local_arrow_kernel(spark):
+    """lang_id is a doc-local Arrow kernel: one MapInArrow straight on
+    the scan (zero Exchange), never a per-row EvalPython stage."""
+    from edspdf_spark.operators.analysis import lang_id
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(lang_id(docs))
+    assert "MapInArrow" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_simsearch_broadcasts_queries(spark):
