@@ -244,8 +244,9 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
 
 
 def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
-                   ) -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cell_rows: int | None = 100_000,
+                   on_oversize: str = "raise") -> DataFrame:
     """SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
     embedding space, then inside each cluster drop every item that has
@@ -268,11 +269,48 @@ def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
     cell id, so cell count must grow ~sqrt(N) with the corpus to keep
     per-cell candidate lists (the quadratic term) bounded; the
     drop-set is distinct ids only and broadcasts back via AQE.
+
+    The sqrt(N) rule is ENFORCED, not advisory (r3 VERDICT: the
+    frozen-cell dial was the worst scale ratio in SCALE_CURVE.md):
+    when any cell's occupancy exceeds `max_cell_rows`, the query
+    raises at execution time (on_oversize="raise", the default)
+    instead of silently going quadratic — the fix is a quantizer with
+    more cells (semantic_dedup_autocells re-fits by the rule) or an
+    explicit larger bound. on_oversize="ignore" opts out (the honest
+    what-if-frozen measurement in BENCH/scale_curve.py uses it). The
+    guard is a lazy in-plan check: one tiny per-cell count aggregate
+    broadcast-joined back, so no extra driver action and no effect on
+    results when every cell is within bound; null/wrong-dim rows
+    (cell -1) never join pairs and are exempt. Default 100k rows/cell
+    ~ the sqrt-rule occupancy of a 10^10-vector corpus.
     """
+    if on_oversize not in ("raise", "ignore"):
+        raise ValueError("on_oversize must be 'raise' or 'ignore'")
     q = _with_cell(_with_quantized(df, id_col, vec_col), centroids)
     a = q.where(F.col("cell") >= 0).select(
         F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
         F.col("norm2").alias("n2_a"), "cell")
+    if max_cell_rows is not None and on_oversize == "raise":
+        # guard ONE side of the pair join only — evaluating `a` is
+        # enough to fire, and it keeps the assignment kernel from
+        # being instantiated an extra time per consumer
+        sizes = (q.where(F.col("cell") >= 0).groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("cell_rows")))
+        msg = F.concat(
+            F.lit("semantic_dedup: cell "),
+            F.col("cell").cast("string"), F.lit(" holds "),
+            F.col("cell_rows").cast("string"),
+            F.lit(f" rows > max_cell_rows={max_cell_rows}; the "
+                  "within-cell pair join would go quadratic. Re-fit "
+                  "the quantizer with more cells (~sqrt(N); see "
+                  "semantic_dedup_autocells) or raise max_cell_rows "
+                  "explicitly."))
+        guarded_cell = (F.when(F.col("cell_rows") <=
+                               F.lit(max_cell_rows), F.col("cell"))
+                        .otherwise(F.raise_error(msg)).cast("int"))
+        a = (a.join(F.broadcast(sizes), "cell")
+             .withColumn("cell", guarded_cell)
+             .drop("cell_rows"))
     b = q.where(F.col("cell") >= 0).select(
         F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
         F.col("norm2").alias("n2_b"), "cell")
@@ -287,6 +325,43 @@ def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
     return (q.join(dup, "id", "left")
             .select("id", "cell",
                     F.col("dup").isNull().alias("keep")))
+
+
+def semantic_dedup_autocells(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             target_cell_rows: int = 1024,
+                             sample_size: int = 4096, seed: int = 7,
+                             iters: int = 5,
+                             max_cell_rows: int | None = 100_000
+                             ) -> DataFrame:
+    """semantic_dedup with the cell-count rule applied automatically:
+    k = max(ceil(sqrt(N)), ceil(N / target_cell_rows)) cells (capped
+    at 65536), re-fit on a seeded sample of the corpus itself — the
+    production path when no externally-trained quantizer exists, and
+    the automated answer to semantic_dedup's occupancy guard.
+
+    Costs two tiny driver actions before the lazy query: a count()
+    for N and a bounded sample collect (<= sample_size vectors) for
+    kmeans_fit. Results depend on the fitted centroids, so this
+    variant is rows-only evidence (no frozen-centroid oracle); the
+    dedup semantics within cells are semantic_dedup's exactly."""
+    import math
+
+    n = df.count()
+    k = max(1, int(math.ceil(math.sqrt(max(n, 1)))),
+            int(math.ceil(n / max(target_cell_rows, 1))))
+    k = min(k, 65536)
+    frac = min(1.0, (4.0 * sample_size) / max(n, 1))
+    rows = (df.select(vec_col).where(F.col(vec_col).isNotNull())
+            .sample(False, frac, seed).limit(sample_size).collect())
+    vecs = [r[0] for r in rows]
+    if not vecs:
+        raise ValueError("semantic_dedup_autocells: no non-null "
+                         "vectors to fit the quantizer on")
+    cents = kmeans_fit(vecs, k=min(k, len(vecs)), iters=iters)
+    return semantic_dedup(df, cents, threshold, id_col, vec_col,
+                          max_cell_rows=max_cell_rows)
 
 
 def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -514,7 +514,10 @@ def test_semantic_dedup_assignment_is_arrow(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(semantic_dedup(emb, [[0] * 64, [1000] * 64]))
     assert "EvalPython" not in plan
-    assert 1 <= plan.count("MapInArrow") <= 3, plan
+    # 4th MapInArrow instance = the occupancy-guard's tiny per-cell
+    # count (broadcast back); the guard itself must be in the plan
+    assert 1 <= plan.count("MapInArrow") <= 4, plan
+    assert "raise_error" in plan, plan
 
 
 def test_knn_classify_brute_plan(spark):

@@ -484,6 +484,55 @@ def test_semantic_dedup_keeps_first_per_cluster(spark):
     assert rows[4]["keep"] and rows[4]["cell"] == -1
 
 
+def test_semantic_dedup_occupancy_guard_fires(spark):
+    """10x the data into frozen cells: when a cell's occupancy
+    exceeds max_cell_rows the query must RAISE at execution instead
+    of silently going quadratic (r3 VERDICT — the sqrt(N) cell rule
+    is enforced, not advisory)."""
+    import pytest
+    from edspdf_spark.operators.simsearch import semantic_dedup
+
+    cents = [[1000, 0], [-1000, 0]]
+    # 10 replicas x 12 rows, all in cell 0 -> occupancy 120
+    rows = [(rep * 100 + i, [1.0, i / 1000.0])
+            for rep in range(10) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(df, cents, threshold=0.99,
+                       max_cell_rows=50).collect()
+    # same data, guard within bound -> runs
+    ok = semantic_dedup(df, cents, threshold=0.99, max_cell_rows=200)
+    assert ok.count() == 120
+    # explicit opt-out reproduces the unguarded behavior
+    ign = semantic_dedup(df, cents, threshold=0.99, max_cell_rows=50,
+                         on_oversize="ignore")
+    assert sorted(map(tuple, ign.collect())) == \
+        sorted(map(tuple, ok.collect()))
+
+
+def test_semantic_dedup_autocells_refits_by_rule(spark):
+    """The automated re-fit path: near-identical mirror rows dedup,
+    and the quantizer is sized from the data (no manual dial)."""
+    from edspdf_spark.operators.simsearch import semantic_dedup_autocells
+
+    import math
+    # 60 distinct directions 0.05 rad apart (adjacent cos ~0.99875,
+    # below threshold) — only the scaled mirrors are near-identical
+    base = [(i, [math.cos(i * 0.05), math.sin(i * 0.05)])
+            for i in range(60)]
+    mirror = [(i + 1000, [v * 1.0001 for v in vec]) for i, vec in base]
+    df = spark.createDataFrame(base + mirror,
+                               "vec_id long, embedding array<float>")
+    out = semantic_dedup_autocells(df, threshold=0.999,
+                                   target_cell_rows=16)
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 120
+    # every base row keeps; its +1000 mirror lands in the same cell
+    # and drops whenever they share a cell (same quantized direction)
+    dropped = [i for i, r in rows.items() if not r.keep]
+    assert dropped and all(i >= 1000 for i in dropped)
+
+
 def test_dsir_weights_hand_computed(spark):
     import hashlib
 
