@@ -273,3 +273,32 @@ def test_host_degrees_and_reciprocity(spark):
     # sink-only host: out_deg 0, recip 0 (no division blowup)
     assert (got["d"].out_deg, got["d"].in_deg,
             got["d"].recip_milli) == (0, 1, 0)
+
+
+def test_union_find_paths_agree_across_threshold(spark):
+    """The driver/distributed cutover inside connected_components can
+    never silently diverge: identical (id, component) labels from the
+    exact driver union-find and the distributed min-label propagation
+    on the same graph (r3 VERDICT #8). Graph mixes chains, a clique,
+    string-ordering hazards via long ids, a self-loop, and an
+    isolated pair."""
+    import random
+
+    from edspdf_spark.operators.components import connected_components
+
+    rnd = random.Random(42)
+    edges = set()
+    for c in range(8):
+        members = [c * 100 + i for i in range(rnd.randint(2, 12))]
+        for x, y in zip(members, members[1:]):
+            edges.add((x, y) if rnd.random() < .5 else (y, x))
+    # a clique (diameter 1), a self-loop, an isolated pair
+    clique = [9000 + i for i in range(6)]
+    edges |= {(x, y) for x in clique for y in clique if x < y}
+    edges |= {(5000, 5000), (6000, 6001)}
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    drv = {(r.id, r.component) for r in
+           connected_components(pairs, driver_threshold=10**6).collect()}
+    dist = {(r.id, r.component) for r in
+            connected_components(pairs, driver_threshold=0).collect()}
+    assert drv == dist and drv
