@@ -2633,6 +2633,63 @@ def q_multimodal_meta(spark, sf_dir):
     return meta.join(feats, "id")
 
 
+# deterministic PNG corpus: (url, width, height, seed, color_type) —
+# gray/rgb/rgba, sizes chosen so every scanline filter (row % 5)
+# appears, plus a non-PNG and a corrupt payload (width -1 contract)
+_PNG_PARAMS: list[tuple[str, int, int, int, int]] = [
+    ("png-gray", 9, 7, 1, 0),
+    ("png-rgb", 12, 6, 2, 2),
+    ("png-rgba", 5, 11, 3, 6),
+    ("png-wide", 33, 5, 4, 2),
+    ("png-tall", 3, 17, 5, 0),
+]
+
+
+def q_png_decode(spark, sf_dir):
+    """REAL PNG decode (stdlib-zlib codec: chunk walk, CRC, IDAT
+    inflate, all five filters inverted) over deterministic synth
+    images; integer-exact stats with a position-sensitive checksum.
+    The oracle recomputes every stat from the pixel FORMULA — it
+    never touches the codec, so a misdecoded byte anywhere fails the
+    hash."""
+    from edspdf_spark.operators.multimodal import (PNG_MAGIC,
+                                                   make_png_bytes,
+                                                   png_pixel_stats)
+
+    rows = [(url, make_png_bytes(w, h, seed=s, color_type=ct))
+            for url, w, h, s, ct in _PNG_PARAMS]
+    rows += [("not-png", b"GIF89a\x01\x00"),
+             ("corrupt-png", PNG_MAGIC + b"\x00" * 12)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return png_pixel_stats(df)
+
+
+def _png_decode_oracle() -> str:
+    """Closed-form VALUES literal from png_pixel_value — decode-free."""
+    from edspdf_spark.operators.multimodal import (_PNG_CHANNELS,
+                                                   png_pixel_value)
+
+    recs = []
+    for url, w, h, seed, ct in _PNG_PARAMS:
+        ch = _PNG_CHANNELS[ct]
+        vals = [png_pixel_value(x, y, c, seed)
+                for y in range(h) for x in range(w) for c in range(ch)]
+        cs = sum(v * ((i % 97) + 1) for i, v in enumerate(vals))
+        recs.append((url, w, h, ch, len(vals), sum(vals),
+                     min(vals), max(vals), cs))
+    recs += [("not-png", -1, 0, 0, 0, 0, 0, 0, 0),
+             ("corrupt-png", -1, 0, 0, 0, 0, 0, 0, 0)]
+    vals_sql = ",\n  ".join(
+        "(" + ", ".join([f"'{r[0]}'"] + [str(v) for v in r[1:]]) + ")"
+        for r in recs)
+    cols = ["width", "height", "channels", "n_vals", "sum_val",
+            "min_val", "max_val", "checksum"]
+    sel = ", ".join(f"CAST(col{i + 1} AS BIGINT) AS {c}"
+                    for i, c in enumerate(cols))
+    return (f"SELECT col0 AS id, {sel}\nFROM (VALUES {vals_sql}) "
+            f"t(col0, {', '.join(f'col{i + 1}' for i in range(8))})")
+
+
 def _multimodal_oracle() -> str:
     """Closed-form expected output: the synth payloads are
     deterministic, so (n_bytes, magic, media type, feature dim) are
@@ -3924,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green round-1/2 suite rotates to the back (VERDICT r3 #1).
     return {
         "multimodal_meta": q_multimodal_meta,
+        "png_decode": q_png_decode,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
         "bloc_cnn_pool": q_bloc_cnn_pool,
@@ -4740,4 +4798,5 @@ def oracle_sql() -> dict[str, str]:
     out["semantic_dedup"] = _semantic_dedup_oracle()
     out["cluster_balance"] = _cluster_balance_oracle()
     out["multimodal_meta"] = _multimodal_oracle()
+    out["png_decode"] = _png_decode_oracle()
     return out
