@@ -2722,12 +2722,20 @@ FROM (VALUES {vals}) t(col0, col1, col2, col3, col4, col5)
 
 
 def q_events_hourly(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
-                       "event_type")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.round(F.col("value") * 1000).cast("bigint"))
-                 .alias("sum_value_milli")))
+    """Batch twin of the STREAMING windowed aggregation
+    (streaming/windowed.windowed_event_counts — same operator, batch
+    input) over the events table PLUS a deterministic late-arrival
+    fixture: every 17th event re-arrives (processing time later,
+    event time unchanged — within the 2 h watermark). Event-time
+    window semantics demand the re-emit lands in its own ts window
+    and bumps that window's count/sum; the oracle aggregates the
+    identical union, so the driver hash pins exactly that."""
+    from edspdf_spark.streaming.windowed import windowed_event_counts
+
+    ev = _events(spark, sf_dir).select("event_id", "ts",
+                                       "event_type", "value")
+    late = ev.where(F.col("event_id") % 17 == 0)
+    return windowed_event_counts(ev.unionByName(late).drop("event_id"))
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -4559,12 +4567,21 @@ _ORACLES["asof_join"] = _ASOF_ORACLE
 _ORACLES["hll_distinct"] = _HLL_ORACLE
 _ORACLES["cm_sketch"] = _cm_oracle()
 
+# batch twin of the streaming tumbling-window agg, late fixture folded
+# in: every 17th event re-arrives with its original event time, so
+# affected windows count it twice — hash-level evidence the windowed
+# operator applies event-time (not arrival-order) semantics
 _ORACLES["events_hourly"] = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events,
+WITH all_ev AS (
+  SELECT ts, event_type, value FROM events
+  UNION ALL
+  SELECT ts, event_type, value FROM events WHERE event_id % 17 = 0)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
        sum(CAST(round(value * 1000) AS BIGINT))::BIGINT AS sum_value_milli
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
+FROM all_ev
+GROUP BY 1, 2, 3
 """
 
 _ORACLES["tpch_q1"] = """
