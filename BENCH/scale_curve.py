@@ -56,7 +56,20 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "length_quantiles", "intra_line_dedup", "domain_hll",
            "canonical_dedup", "cluster_balance", "host_label_prop",
            "host_degrees", "crawl_delays", "regdomain_stats",
-           "robots_sitemaps", "char_profile"]
+           "robots_sitemaps", "char_profile",
+           # r4: every remaining contract query whose input scales
+           # with the 10x dir (documents/embeddings/events). Excluded
+           # by design: pages_spark fixture queries (pipeline_*,
+           # extract_blocs, html_extract, bloc_*), the fixed-payload
+           # multimodal/png corpora, and tpch_q1 (lineitem is not
+           # replicated) — their inputs don't grow with sf_dir.
+           "reading_order", "vocab_stats", "dedup_jaccard",
+           "dedup_simhash", "simhash_pairs", "embed_cosine_pairs",
+           "text_quality", "gopher_quality", "fingerprint",
+           "hash_split", "stratified_sample", "domain_stats",
+           "blocklist_filter", "latest_capture", "events_hourly",
+           "trainable_classify", "mask_classify", "aggregate_lines",
+           "passage_dedup"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)

@@ -102,32 +102,10 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    headline = ["dedup_exact", "dedup_minhash_lsh", "dedup_components",
-                "simsearch_topk", "simsearch_ivf", "winnow_fingerprints",
-                "text_quality", "lang_id", "fingerprint", "token_count",
-                "events_hourly", "tpch_q1", "mask_classify",
-                "aggregate_lines", "bloc_hf_embed", "gopher_quality",
-                "passage_dedup", "gopher_repetition", "pack_sequences",
-                "latest_capture", "url_normalize", "sessionize",
-                "bigram_coverage", "quality_funnel", "line_dedup",
-                "pii_scrub", "substring_dedup", "decontaminate",
-                "quality_classify", "lm_ppl_buckets", "semantic_dedup",
-                "dsir_select", "knn_classify", "badwords_filter",
-                "warc_roundtrip", "token_budget", "asof_join",
-                "hll_distinct", "cm_sketch", "link_graph",
-                "host_pagerank", "bloom_filter", "chunk_windows",
-                "tfidf_top_terms", "paragraph_classify", "anchor_terms",
-                "snapshot_diff", "fix_mojibake", "containment_pairs",
-                "registered_domain", "html_meta", "dedup_keep_best",
-                "crawl_schedule", "complexity_signals", "robots_filter",
-                "stream_band_dedup", "normalized_dedup",
-                "domain_top_terms", "inverted_index", "cooc_pmi",
-                "dataset_card", "bm25_topk", "edit_verified",
-                "skew_stats", "length_quantiles", "intra_line_dedup",
-                "domain_hll", "canonical_dedup", "cluster_balance",
-                "host_label_prop", "host_degrees", "crawl_delays",
-                "regdomain_stats", "robots_sitemaps", "char_profile"]
-    for name in headline:
+    # EVERY contract query is timed — no silent bench gaps (r3 VERDICT
+    # #6: 18 oracled queries had never been timed). The flagship fused
+    # pipeline is timed separately above over the larger synth corpus.
+    for name in qs:
         timings[name] = round(_timed(lambda: qs[name](spark, SF_DIR)), 3)
 
     total = round(sum(timings.values()), 3)
