@@ -31,6 +31,36 @@ def read_pages_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_pages_table(spark: SparkSession, ref: str,
+                     fmt: str = "auto") -> DataFrame:
+    """Format-dispatched read of the pages table — the Iceberg shape
+    of the north rule without hard-wiring a path layout.
+
+    `ref` is a filesystem path (parquet) or a catalog table name
+    (`db.tbl` / `catalog.db.tbl`). fmt:
+      * "auto"    — refs containing a path separator read as parquet
+                    directories; bare dotted names resolve through the
+                    session catalog (which is exactly how an Iceberg
+                    table appears once `spark.sql.catalog.<name>` is
+                    configured with org.apache.iceberg.spark
+                    .SparkCatalog; the runtime jar is a `--packages`
+                    flag on spark-submit, never a code change here),
+      * "parquet" / "iceberg" / "table" — explicit.
+    Every downstream plan is identical either way: scans stay
+    prunable/pushdown-capable DataSourceV2 or parquet relations."""
+    if fmt == "auto":
+        fmt = "parquet" if ("/" in ref or ref.endswith(".parquet")) \
+            else "table"
+    if fmt == "parquet":
+        return spark.read.parquet(ref)
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(ref)
+    if fmt == "table":
+        return spark.table(ref)
+    raise ValueError(f"unknown table format {fmt!r} "
+                     "(expected auto/parquet/iceberg/table)")
+
+
 def read_pdf_files(spark: SparkSession, path: str,
                    recursive: bool = True,
                    keep_ipynb_checkpoints: bool = False) -> DataFrame:

@@ -43,7 +43,14 @@ def parse_masks(spec: str):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument("--input",
+                    help="pages table: parquet path OR catalog table "
+                         "name (e.g. an Iceberg table via a "
+                         "configured spark.sql.catalog)")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "table"],
+                    help="auto: path-like -> parquet, dotted name -> "
+                         "session catalog (Iceberg rides the catalog)")
     ap.add_argument("--synthetic", type=int,
                     help="generate N synthetic docs instead of --input")
     ap.add_argument("--output", required=True)
@@ -65,7 +72,7 @@ def main(argv=None) -> int:
     from edspdf_spark.operators import PipelineConfig
     from edspdf_spark.plans import (lineage_row, new_run_id,
                                     run_with_checkpoint)
-    from edspdf_spark.sources import read_pages_parquet
+    from edspdf_spark.sources import read_pages_table
 
     spark = (SparkSession.builder.appName("edspdf-spark-pipeline")
              .config("spark.sql.adaptive.enabled", "true")
@@ -76,7 +83,8 @@ def main(argv=None) -> int:
                                   num_partitions=args.partitions)
         input_desc = f"synthetic:{args.synthetic}"
     else:
-        pages = read_pages_parquet(spark, args.input)
+        pages = read_pages_table(spark, args.input,
+                                 fmt=args.input_format)
         input_desc = args.input
 
     cfg = PipelineConfig(

@@ -85,7 +85,11 @@ def clean_stage(badwords, id_col: str, text_col: str, stopwords=None):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="documents parquet")
+    ap.add_argument("--input", required=True,
+                    help="documents table: parquet path or catalog "
+                         "table name (Iceberg via spark.sql.catalog)")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "table"])
     ap.add_argument("--output", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -109,7 +113,8 @@ def main(argv=None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
 
-    docs = spark.read.parquet(args.input)
+    from edspdf_spark.sources import read_pages_table
+    docs = read_pages_table(spark, args.input, fmt=args.input_format)
     n_in = docs.count()
     badwords = [w for w in args.badwords.split(",") if w]
 

@@ -305,3 +305,26 @@ def test_write_sharded_manifest_and_pruning(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="torn export"):
         read_sharded(spark, out)
+
+
+def test_read_pages_table_dispatch(spark, tmp_path):
+    """Format-dispatched table read: parquet paths and catalog table
+    names resolve to the same rows; auto picks by ref shape; the
+    iceberg branch is config-only (jar absent here) and unknown
+    formats refuse."""
+    import pytest
+
+    from edspdf_spark.sources import read_pages_table
+
+    p = str(tmp_path / "pages.parquet")
+    df = spark.createDataFrame([("u1", b"x"), ("u2", b"y")],
+                               "url string, html binary")
+    df.write.parquet(p)
+    by_path = read_pages_table(spark, p)                 # auto -> parquet
+    assert by_path.count() == 2
+    spark.read.parquet(p).createOrReplaceTempView("pages_v")
+    by_table = read_pages_table(spark, "pages_v")        # auto -> catalog
+    assert sorted(r.url for r in by_table.collect()) == ["u1", "u2"]
+    assert read_pages_table(spark, p, fmt="parquet").count() == 2
+    with pytest.raises(ValueError, match="unknown table format"):
+        read_pages_table(spark, p, fmt="orc")
