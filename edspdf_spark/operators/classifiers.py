@@ -129,7 +129,7 @@ def random_classify(blocs: DataFrame,
 
     schema_out = blocs.drop("label").withColumn("label", F.lit("")).schema
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["page_num", "order_idx"])
         url = str(pdf["url"].iloc[0])
         doc_key = int.from_bytes(url.encode("utf-8")[-8:] or b"\0", "big")
@@ -138,4 +138,30 @@ def random_classify(blocs: DataFrame,
         pdf["label"] = rng.choice(names, p=probs, size=len(pdf))
         return pdf
 
-    return blocs.groupBy("url").applyInPandas(per_doc, schema=schema_out)
+    # batched dispatch (aggregator pattern): one mapInPandas walking
+    # url groups per Arrow batch with a cross-batch tail buffer —
+    # applyInPandas would pay a Python round-trip per document. The
+    # per-doc RNG stream makes results identical either way.
+    def fn(batches):
+        tail = None
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["url"].iloc[-1]
+            is_tail = pdf["url"] == last
+            tail = pdf[is_tail]
+            head = pdf[~is_tail]
+            if len(head):
+                yield pd.concat([_one(g) for _, g in
+                                 head.groupby("url", sort=False)],
+                                ignore_index=True)
+        if tail is not None and len(tail):
+            yield _one(tail)
+
+    n_parts = blocs.sparkSession.sparkContext.defaultParallelism * 2
+    prepared = (blocs.repartition(n_parts, F.col("url"))
+                .sortWithinPartitions("url", "page_num", "order_idx"))
+    return prepared.mapInPandas(fn, schema=schema_out)
