@@ -1666,6 +1666,82 @@ FUNNEL_STOPWORDS = ["join", "hash", "row", "batch", "scan", "column",
                     "filter", "merge"]
 
 
+# deterministic multiline corpus for the C4 line rules: 7-token lines
+# with a 4-cycle of terminal punctuation (., none, ?, !-or-javascript)
+# plus page-level brace/lorem injections — every rule fires somewhere.
+# Spark and DuckDB renderings are separate (list-function names
+# differ) but value-identical; slice(arr, pos, LEN) == list_slice(arr,
+# pos, pos+LEN-1) and both engines' chr(10) agree.
+_C4_SPARK_TEXT = """
+concat(
+  array_join(transform(
+    sequence(0, greatest(CAST(ceil(size(c4toks) / 7.0) AS INT) - 1, 0)),
+    i -> concat(array_join(slice(c4toks, i * 7 + 1, 7), ' '),
+                CASE WHEN i % 4 = 0 THEN '.'
+                     WHEN i % 4 = 1 THEN ''
+                     WHEN i % 4 = 2 THEN '?'
+                     WHEN doc_id % 7 = 0 THEN ' javascript.'
+                     ELSE '!' END)), chr(10)),
+  CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{ config }' ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor'
+       ELSE '' END)
+"""
+
+_C4_DUCK_TEXT = """
+array_to_string(list_transform(
+    generate_series(0, greatest(CAST(ceil(len(c4toks) / 7.0) AS INT) - 1,
+                                0)),
+    i -> array_to_string(list_slice(c4toks, i * 7 + 1, i * 7 + 7), ' ')
+         || CASE WHEN i % 4 = 0 THEN '.'
+                 WHEN i % 4 = 1 THEN ''
+                 WHEN i % 4 = 2 THEN '?'
+                 WHEN doc_id % 7 = 0 THEN ' javascript.'
+                 ELSE '!' END), chr(10))
+|| CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{ config }' ELSE '' END
+|| CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor'
+        ELSE '' END
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2) over a
+    deterministic multiline rendering of the documents corpus."""
+    from edspdf_spark.operators.analysis import c4_filters
+
+    corpus = (_docs(spark, sf_dir)
+              .selectExpr("doc_id",
+                          "filter(split(text, ' '), t -> t <> '') "
+                          "AS c4toks")
+              .selectExpr("doc_id", f"{_C4_SPARK_TEXT} AS text"))
+    return c4_filters(corpus)
+
+
+_C4_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS c4toks
+  FROM documents),
+c AS (SELECT doc_id, {_C4_DUCK_TEXT} AS text FROM t0),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM c),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+            right(trim(x), 1) IN ('.', '!', '?', chr(34))
+            AND len(list_filter(string_split(trim(x), ' '),
+                                w -> w <> '')) >= 5
+            AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id AS id, CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       strpos(text, '{{') > 0 AS has_brace,
+       strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(kept) >= 3 AND strpos(text, '{{') = 0
+         AND strpos(lower(text), 'lorem ipsum') = 0 AS keep
+FROM k
+"""
+
+
 def q_quality_funnel(spark, sf_dir):
     from edspdf_spark.operators.analysis import quality_funnel
 
@@ -4018,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_meta": q_multimodal_meta,
         "png_decode": q_png_decode,
+        "c4_filters": q_c4_filters,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
         "bloc_cnn_pool": q_bloc_cnn_pool,
@@ -4844,4 +4921,5 @@ def oracle_sql() -> dict[str, str]:
     out["cluster_balance"] = _cluster_balance_oracle()
     out["multimodal_meta"] = _multimodal_oracle()
     out["png_decode"] = _png_decode_oracle()
+    out["c4_filters"] = _C4_ORACLE
     return out

@@ -1390,6 +1390,56 @@ PUNCT_FOLD_MAP = [
 ]
 
 
+def c4_filters(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_words_per_line: int = 5,
+               min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the published
+    Common-Crawl filter behind the C4 corpus), the exact subset that
+    needs no English sentence splitter:
+
+      * keep a LINE iff it ends in terminal punctuation (. ! ? \"),
+        has >= min_words_per_line space-words, and does not mention
+        'javascript' (case-insensitive);
+      * keep the PAGE iff >= min_kept_lines lines survive and the raw
+        text contains neither '{' (code marker) nor 'lorem ipsum'
+        (boilerplate marker).
+
+    The paper's \">= 3 sentences\" gate is implemented as >= 3 kept
+    terminal-punctuated lines (its sentence counter is an English
+    nltk pipeline; a kept line is terminal-punctuated by
+    construction, so the gate semantics carry).
+
+    Output: (id, n_lines, n_kept_lines, has_brace, has_lorem,
+    clean_text, keep). Zero-shuffle whole-row codegen: one split +
+    ONE filter lambda per row + instr flags; exact DuckDB oracle."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    mw = int(min_words_per_line)
+
+    def line_ok(line):
+        t = F.trim(line)
+        last = F.substring(t, -1, 1)
+        return (last.isin(".", "!", "?", '"')
+                & (F.size(F.filter(F.split(t, " "),
+                                   lambda w: w != "")) >= F.lit(mw))
+                & ~F.contains(F.lower(t), F.lit("javascript")))
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept).cast("bigint")
+    has_brace = F.instr(text, "{") > 0
+    has_lorem = F.instr(F.lower(text), "lorem ipsum") > 0
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        ((n_kept >= int(min_kept_lines)) & ~has_brace & ~has_lorem)
+        .alias("keep"))
+
+
 def normalize_text(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(id, text_norm, norm_code): lowercase, fold typographic

@@ -837,3 +837,41 @@ def test_char_profile_plan_zero_shuffle(spark):
     plan = char_profile(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_c4_filters_rules(spark):
+    """Every C4 rule pinned: terminal punctuation, min words per
+    line, javascript lines, brace pages, lorem-ipsum pages, the
+    >=3-kept-lines gate, and clean_text rejoin order."""
+    from edspdf_spark.operators.analysis import c4_filters
+
+    good = "one two three four five six.\nsecond line also has words!\n" \
+           'third line is quoted fine."'
+    rows = [
+        (1, good),                                      # keeps, 3 lines
+        (2, "short line.\nno punct here at all\n"
+            "one two three four five six."),  # short + unpunctuated drop
+        (3, good + "\nvar x = { a: 1 }"),               # brace page
+        (4, good + "\nLorem Ipsum dolor sit amet."),    # lorem page
+        (5, "click here javascript required now.\n" + good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in c4_filters(df).collect()}
+    assert got[1].keep and got[1].n_kept_lines == 3
+    assert got[1].clean_text == good
+    assert not got[2].keep and got[2].n_kept_lines == 1
+    assert not got[3].keep and got[3].has_brace
+    assert not got[4].keep and got[4].has_lorem
+    # the javascript line is dropped but the page still keeps
+    assert got[5].keep and got[5].n_kept_lines == 3
+    assert "javascript" not in got[5].clean_text
+
+
+def test_c4_filters_plan_zero_shuffle(spark):
+    from edspdf_spark.operators.analysis import c4_filters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (c4_filters(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
