@@ -106,7 +106,7 @@ if __name__ == "__main__":
     with mp.Pool(w, initializer=init) as p:
         p.map(work, chunks[:w])
         best = None
-        for _rep in range(2):  # best-of-2, like the Spark side
+        for _rep in range(3):  # best-of-3, same reps as the Spark side
             t0 = time.time()
             p.map(work, chunks)
             dt = time.time() - t0

@@ -1271,6 +1271,88 @@ def q_url_normalize(spark, sf_dir):
     return url_normalize(raw)
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT (web-archive CDX) keys over the messy-URL corpus — same
+    inputs as url_normalize, so ports/www/query-sorting all fire."""
+    from edspdf_spark.operators.urls import surt_keys
+
+    raw = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_MESSY_URL_SQL} AS url")
+    return surt_keys(raw)
+
+
+def _surt_oracle() -> str:
+    """The url_normalize oracle's parse + label reversal: port split
+    off the canonical host, remaining labels reversed/comma-joined,
+    ')' separator, then path and the sorted query."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id, {_MESSY_URL_SQL} AS url FROM documents
+),
+p AS (
+  SELECT id, url,
+         lower(string_split(string_split(url, '#')[1], '://')[1])
+           AS proto,
+         string_split(string_split(url, '#')[1], '://')[2] AS rest
+  FROM raw
+),
+s AS (
+  SELECT id, url, proto,
+         CASE WHEN strpos(rest, '/') = 0 THEN lower(rest)
+              ELSE lower(substr(rest, 1, strpos(rest, '/') - 1)) END
+           AS hostport,
+         CASE WHEN strpos(rest, '/') = 0 THEN ''
+              ELSE substr(rest, strpos(rest, '/')) END AS pathq
+  FROM p
+),
+h AS (
+  SELECT id, url, proto, pathq,
+         CASE WHEN proto = 'http' AND hostport LIKE '%:80'
+                THEN substr(hostport, 1, length(hostport) - 3)
+              WHEN proto = 'https' AND hostport LIKE '%:443'
+                THEN substr(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS noport
+  FROM s
+),
+hh AS (
+  SELECT id, url, pathq,
+         CASE WHEN noport LIKE 'www.%' THEN substr(noport, 5)
+              ELSE noport END AS host
+  FROM h
+),
+f AS (
+  SELECT id, url, host,
+         CASE WHEN strpos(host, ':') = 0 THEN host
+              ELSE substr(host, 1, strpos(host, ':') - 1) END
+           AS hostonly,
+         CASE WHEN strpos(host, ':') = 0 THEN ''
+              ELSE substr(host, strpos(host, ':')) END AS port,
+         CASE WHEN strpos(pathq, '?') = 0 THEN pathq
+              ELSE substr(pathq, 1, strpos(pathq, '?') - 1) END
+           AS rawpath,
+         CASE WHEN strpos(pathq, '?') = 0 THEN ''
+              ELSE substr(pathq, strpos(pathq, '?') + 1) END AS query
+  FROM hh
+),
+n AS (
+  SELECT id, url, hostonly, port,
+         CASE WHEN rawpath LIKE '%/'
+              THEN substr(rawpath, 1, length(rawpath) - 1)
+              ELSE rawpath END AS path,
+         CASE WHEN query = '' THEN ''
+              ELSE '?' || list_aggregate(
+                     list_sort(string_split(query, '&')),
+                     'string_agg', '&') END AS qpart
+  FROM f
+)
+SELECT id, url,
+       list_aggregate(list_reverse(string_split(hostonly, '.')),
+                      'string_agg', ',')
+         || port || ')' || path || qpart AS surt_key
+FROM n
+"""
+
+
 def _url_normalize_oracle() -> str:
     """Independent DuckDB canonicalization: string/list math instead
     of parse_url. Same five rules as operators/urls.py."""
@@ -4095,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "png_decode": q_png_decode,
         "c4_filters": q_c4_filters,
+        "surt_keys": q_surt_keys,
         "html_extract": q_html_extract,
         "bloc_embed": q_bloc_embed,
         "bloc_cnn_pool": q_bloc_cnn_pool,
@@ -4922,4 +5005,5 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_meta"] = _multimodal_oracle()
     out["png_decode"] = _png_decode_oracle()
     out["c4_filters"] = _C4_ORACLE
+    out["surt_keys"] = _surt_oracle()
     return out

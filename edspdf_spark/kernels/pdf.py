@@ -73,25 +73,47 @@ class FontInfo:
     # multi-char, e.g. ligature expansions). Advance widths are keyed
     # by CODE; only the emitted text is remapped.
     to_unicode: Optional[Dict[int, str]] = None
+    # Type0 composite font (Identity-H): 2-byte codes, widths from the
+    # CIDFontType2 descendant's /W map with /DW default (PDF §9.7)
+    two_byte: bool = False
+    cid_widths: Optional[Dict[int, int]] = None
+    default_width: int = 1000
+
+    def iter_codes(self, raw: str) -> List[int]:
+        """Raw string (latin-1, byte-per-char) -> character codes:
+        single bytes for simple fonts, big-endian byte PAIRS for
+        Identity-H composite fonts (a trailing odd byte is dropped,
+        matching pdfminer's CMap byte consumption)."""
+        if not self.two_byte:
+            return [ord(ch) for ch in raw]
+        return [(ord(raw[i]) << 8) | ord(raw[i + 1])
+                for i in range(0, len(raw) - 1, 2)]
+
+    def code_advance(self, code: int, size: float) -> float:
+        if self.two_byte:
+            w = (self.cid_widths or {}).get(code, self.default_width)
+            return w * size / 1000.0
+        if self.widths is None:
+            return CHAR_WIDTH * size / 1000.0
+        lo, hi = self.first_char, self.first_char + len(self.widths)
+        w = self.widths[code - lo] if lo <= code < hi \
+            else self.missing_width
+        return w * size / 1000.0
+
+    def decode_codes(self, codes: List[int]) -> str:
+        """Map character codes through /ToUnicode (codes without an
+        entry pass through as their codepoint — pdfminer's behavior
+        for unmapped codes)."""
+        if self.to_unicode is None:
+            return "".join(chr(c) for c in codes)
+        return "".join(self.to_unicode.get(c, chr(c)) for c in codes)
 
     def advance(self, text: str, size: float) -> float:
-        if self.widths is None:
-            return text_width(text, size)
-        total = 0
-        lo, hi = self.first_char, self.first_char + len(self.widths)
-        for ch in text:
-            c = ord(ch)
-            total += (self.widths[c - lo] if lo <= c < hi
-                      else self.missing_width)
-        return total * size / 1000.0
+        return sum(self.code_advance(c, size)
+                   for c in self.iter_codes(text))
 
     def decode(self, text: str) -> str:
-        """Map raw character codes through the /ToUnicode CMap (codes
-        without an entry pass through — pdfminer's CMapDB behavior for
-        unmapped codes in simple fonts)."""
-        if self.to_unicode is None:
-            return text
-        return "".join(self.to_unicode.get(ord(ch), ch) for ch in text)
+        return self.decode_codes(self.iter_codes(text))
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +372,10 @@ class ParsedLine:
     y1: float  # top (pdf coords)
     # per-char: (char, basefont-name, upright)
     chars: List[Tuple[str, str, bool]] = field(default_factory=list)
+    # advance width (pts) of the first / last shown char — the
+    # pdfminer-style run-merging margins are char-relative
+    first_w: float = 0.0
+    last_w: float = 0.0
 
 
 @dataclass
@@ -430,6 +456,45 @@ def parse_cmap(body: bytes) -> Dict[int, str]:
                         .decode("utf-16-be", errors="replace")
     return out
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
+_WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+0\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_DESCFONTS_RE = re.compile(
+    rb"/DescendantFonts\s*(?:\[\s*(\d+)\s+0\s+R\s*\]|(\d+)\s+0\s+R)")
+_DW_RE = re.compile(rb"/DW\s+(\d+)")
+_W_ARR_RE = re.compile(rb"/W\s*\[(.*?)\]\s*(?:/|>>)", re.S)
+_W_REF_RE = re.compile(rb"/W\s+(\d+)\s+0\s+R")
+
+
+def _parse_cid_w(body: bytes) -> Dict[int, int]:
+    """CIDFont /W array (PDF 32000-1 §9.7.4.3): two entry forms —
+    `c [w1 w2 ...]` assigns consecutive widths from CID c, and
+    `cFirst cLast w` assigns one width to a CID range."""
+    out: Dict[int, int] = {}
+    toks = re.findall(rb"\[|\]|-?\d+(?:\.\d+)?", body)
+    i = 0
+    while i < len(toks):
+        if toks[i] in (b"[", b"]"):  # stray delimiter; skip
+            i += 1
+            continue
+        c = int(float(toks[i]))
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j = i + 2
+            k = 0
+            while j < len(toks) and toks[j] != b"]":
+                out[c + k] = int(round(float(toks[j])))
+                j += 1
+                k += 1
+            i = j + 1
+        elif i + 2 < len(toks) and toks[i + 1] not in (b"[", b"]") \
+                and toks[i + 2] not in (b"[", b"]"):
+            c2 = int(float(toks[i + 1]))
+            w = int(round(float(toks[i + 2])))
+            for cid in range(c, min(c2, c + 65535) + 1):
+                out[cid] = w
+            i += 3
+        else:
+            i += 1
+    return out
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _MISSINGW_RE = re.compile(rb"/MissingWidth\s+(\d+)")
 _MEDIABOX_RE = re.compile(
@@ -745,9 +810,19 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
             first_char = 0
             missing = CHAR_WIDTH
             wm = _WIDTHS_RE.search(body)
-            if wm:
+            warr = wm.group(1) if wm else None
+            if warr is None:
+                # real-world writers (Word, LibreOffice) emit the
+                # /Widths array as an INDIRECT object
+                wrm = _WIDTHS_REF_RE.search(body)
+                if wrm:
+                    ref_body = objs.get(int(wrm.group(1)), b"")
+                    am = re.search(rb"\[([^\]]*)\]", ref_body)
+                    if am:
+                        warr = am.group(1)
+            if warr is not None:
                 try:
-                    widths = [int(v) for v in wm.group(1).split()]
+                    widths = [int(round(float(v))) for v in warr.split()]
                 except ValueError as exc:
                     raise PdfParseError(f"bad /Widths entry: {exc}")
                 fcm = _FIRSTCHAR_RE.search(body)
@@ -759,10 +834,40 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
             if tm:
                 to_uni = parse_cmap(
                     _stream_for_obj(data, int(tm.group(1)), body_starts))
+            two_byte = False
+            cid_widths = None
+            default_width = 1000
+            if _TYPE0_RE.search(body):
+                # composite font (Identity-H): 2-byte codes; widths
+                # live in the CIDFontType2 descendant's /W + /DW
+                two_byte = True
+                dm = _DESCFONTS_RE.search(body)
+                if dm:
+                    ref = dm.group(1) or dm.group(2)
+                    desc = objs.get(int(ref), b"")
+                    if desc and not desc.lstrip().startswith(b"<<"):
+                        # /DescendantFonts N 0 R -> [M 0 R]
+                        im = _REF_RE.search(desc)
+                        desc = objs.get(int(im.group(1)), b"") \
+                            if im else b""
+                    dwm = _DW_RE.search(desc)
+                    if dwm:
+                        default_width = int(dwm.group(1))
+                    wm2 = _W_ARR_RE.search(desc)
+                    wbody = wm2.group(1) if wm2 else None
+                    if wbody is None:
+                        wrm2 = _W_REF_RE.search(desc)
+                        if wrm2:
+                            rb = objs.get(int(wrm2.group(1)), b"")
+                            am2 = re.search(rb"\[(.*)\]", rb, re.S)
+                            wbody = am2.group(1) if am2 else None
+                    if wbody is not None:
+                        cid_widths = _parse_cid_w(wbody)
             fonts_by_obj[oid] = FontInfo(
                 name=fm.group(1).decode("latin-1"), widths=widths,
                 first_char=first_char, missing_width=missing,
-                to_unicode=to_uni)
+                to_unicode=to_uni, two_byte=two_byte,
+                cid_widths=cid_widths, default_width=default_width)
 
     # Page object ids, in document order via the Pages tree when present
     page_ids: List[int] = []
@@ -813,6 +918,18 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
     return pages
 
 
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mult(m1, m2):
+    """Affine compose (row-vector convention: apply m1, then m2)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+
+
 def _run_content(stream: bytes,
                  font_names: Dict[str, object]) -> List[ParsedLine]:
     """Interpret a content stream; every BT..ET block becomes one line.
@@ -826,14 +943,22 @@ def _run_content(stream: bytes,
     stack: List[object] = []
 
     in_text = False
-    tx = ty = 0.0
-    line_x = line_y = 0.0
+    # full affine state (PDF 32000-1 §8.3.3 / §9.4.2, row-vector
+    # convention): ctm survives BT/ET and composes under cm with q/Q
+    # save/restore; tm/tlm are the text and text-line matrices. For
+    # `1 0 0 1 x y Tm` under an identity ctm this reduces EXACTLY to
+    # the previous translation-only arithmetic (same float ops), so
+    # synth documents parse bit-identically; real-world writers
+    # (Skia/Google Docs: y-flip cm + scale + d=-1 Tm) now land where
+    # they render.
+    ctm = _MAT_ID
+    gstack: List[Tuple[float, ...]] = []
+    tm = tlm = _MAT_ID
     leading = 0.0
     finfo = FontInfo(name="Unknown")
     font = finfo.name
     size = 0.0
     cur: Optional[ParsedLine] = None
-    y_lo = y_hi = 0.0
 
     def flush():
         nonlocal cur
@@ -841,26 +966,36 @@ def _run_content(stream: bytes,
             lines.append(cur)
         cur = None
 
-    def ensure_line():
-        nonlocal cur, y_lo, y_hi
-        if cur is None:
-            cur = ParsedLine(x0=tx, y0=ty + DESCENT * size / 1000.0,
-                             x1=tx, y1=ty + ASCENT * size / 1000.0)
-            y_lo = cur.y0
-            y_hi = cur.y1
-
     def show(text: str):
-        nonlocal tx, y_lo, y_hi
+        nonlocal tm, cur
         if not in_text:
             raise PdfParseError("Tj outside BT/ET")
-        ensure_line()
-        assert cur is not None
-        cur.chars.extend((ch, font, True) for ch in finfo.decode(text))
-        tx += finfo.advance(text, size)
-        cur.x1 = max(cur.x1, tx)
-        y_lo = min(y_lo, ty + DESCENT * size / 1000.0)
-        y_hi = max(y_hi, ty + ASCENT * size / 1000.0)
-        cur.y0, cur.y1 = y_lo, y_hi
+        codes = finfo.iter_codes(text)
+        if not codes:
+            return
+        trm = _mat_mult(tm, ctm)
+        ox, oy = trm[4], trm[5]
+        ax = trm[0] if trm[0] != 0 else 1.0    # x-axis image scale
+        dyy = abs(trm[3]) if trm[3] != 0 else abs(trm[1]) or 1.0
+        size_dev = size * dyy
+        adv_text = sum(finfo.code_advance(c, size) for c in codes)
+        x_a, x_b = ox, ox + adv_text * ax
+        x_start, x_end = (x_a, x_b) if x_a <= x_b else (x_b, x_a)
+        y0 = oy + DESCENT * size_dev / 1000.0
+        y1 = oy + ASCENT * size_dev / 1000.0
+        if cur is None:
+            cur = ParsedLine(x0=x_start, y0=y0, x1=x_end, y1=y1)
+        else:
+            cur.x0 = min(cur.x0, x_start)
+            cur.x1 = max(cur.x1, x_end)
+            cur.y0 = min(cur.y0, y0)
+            cur.y1 = max(cur.y1, y1)
+        if not cur.chars:
+            cur.first_w = finfo.code_advance(codes[0], size) * abs(ax)
+        cur.last_w = finfo.code_advance(codes[-1], size) * abs(ax)
+        cur.chars.extend((ch, font, True)
+                         for ch in finfo.decode_codes(codes))
+        tm = _mat_mult((1.0, 0.0, 0.0, 1.0, adv_text, 0.0), tm)
 
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup
@@ -885,36 +1020,49 @@ def _run_content(stream: bytes,
             op = tok.decode()
             if op == "BT":
                 in_text = True
-                tx = ty = 0.0
+                tm = tlm = _MAT_ID
                 cur = None
             elif op == "ET":
                 flush()
                 in_text = False
+            elif op == "q":
+                gstack.append(ctm)
+                stack.clear()
+            elif op == "Q":
+                if gstack:
+                    ctm = gstack.pop()
+                stack.clear()
+            elif op == "cm":
+                nums = [v for v in stack if isinstance(v, float)]
+                if len(nums) >= 6:
+                    ctm = _mat_mult(tuple(nums[-6:]), ctm)
+                stack.clear()
             elif op == "Tf":
                 size = float(stack[-1])
                 finfo = fonts.get(str(stack[-2]), FontInfo(name="Unknown"))
                 font = finfo.name
                 stack.clear()
             elif op == "Tm":
-                # only translation matrices are supported in this subset
-                tx, ty = float(stack[-2]), float(stack[-1])
-                line_x, line_y = tx, ty
+                nums = [v for v in stack if isinstance(v, float)]
+                if len(nums) >= 6:
+                    tlm = tuple(nums[-6:])
+                    tm = tlm
                 flush()
                 stack.clear()
             elif op in ("Td", "TD"):
-                line_x += float(stack[-2])
-                line_y += float(stack[-1])
+                dx, dy = float(stack[-2]), float(stack[-1])
                 if op == "TD":
-                    leading = -float(stack[-1])
-                tx, ty = line_x, line_y
+                    leading = -dy
+                tlm = _mat_mult((1.0, 0.0, 0.0, 1.0, dx, dy), tlm)
+                tm = tlm
                 flush()
                 stack.clear()
             elif op == "TL":
                 leading = float(stack[-1])
                 stack.clear()
             elif op == "T*":
-                line_y -= leading
-                tx, ty = line_x, line_y
+                tlm = _mat_mult((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+                tm = tlm
                 flush()
                 stack.clear()
             elif op == "Tj":
@@ -927,12 +1075,58 @@ def _run_content(stream: bytes,
                     elif isinstance(item, float):
                         # standard TJ kerning: a number n translates the
                         # text matrix by -n/1000*size (horizontal writing)
-                        tx -= item / 1000.0 * size
+                        tm = _mat_mult(
+                            (1.0, 0.0, 0.0, 1.0,
+                             -item / 1000.0 * size, 0.0), tm)
                 stack.clear()
             else:
                 stack.clear()
     flush()
-    return lines
+    return _merge_runs(lines)
+
+
+# the reference's own LAParams (pipes/extractors/pdfminer.py:103-111)
+LA_LINE_OVERLAP = 0.5
+LA_CHAR_MARGIN = 2.05
+LA_WORD_MARGIN = 0.1
+
+
+def _merge_runs(runs: List[ParsedLine]) -> List[ParsedLine]:
+    """pdfminer-style text-line assembly at RUN granularity: merge
+    stream-consecutive runs that vertically overlap by >= line_overlap
+    of the smaller height AND whose horizontal gap is under
+    char_margin x the adjacent char's width; insert a space when the
+    gap exceeds word_margin x that width (LTTextLineHorizontal.add
+    semantics). Real-world writers (Word et al.) emit one BT run per
+    kerning segment — pdfminer stitches them back into visual lines,
+    and the reference's ground truth is built from THOSE lines. Synth
+    single-run-per-line documents pass through untouched (column gaps
+    are far beyond char_margin)."""
+    out: List[ParsedLine] = []
+    for run in runs:
+        if out:
+            prev = run_prev = out[-1]
+            h1 = prev.y1 - prev.y0
+            h2 = run.y1 - run.y0
+            voverlap = min(prev.y1, run.y1) - max(prev.y0, run.y0)
+            cw = max(prev.last_w, run.first_w)
+            gap = run.x0 - prev.x1
+            if (voverlap >= LA_LINE_OVERLAP * min(h1, h2)
+                    and -cw <= gap < LA_CHAR_MARGIN * cw):
+                if gap > LA_WORD_MARGIN * cw and run.chars \
+                        and prev.chars and prev.chars[-1][0] != " " \
+                        and run.chars[0][0] != " ":
+                    fnt = run.chars[0][1]
+                    run_prev.chars.append((" ", fnt, True))
+                run_prev.chars.extend(run.chars)
+                run_prev.x1 = max(run_prev.x1, run.x1)
+                run_prev.x0 = min(run_prev.x0, run.x0)
+                run_prev.y0 = min(run_prev.y0, run.y0)
+                run_prev.y1 = max(run_prev.y1, run.y1)
+                run_prev.last_w = run.last_w or run_prev.last_w
+                continue
+        out.append(run)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,38 @@ def url_normalize(df: DataFrame, url_col: str = "url",
         path.alias("path"), n_params.alias("n_params"))
 
 
+def surt_keys(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, url, surt_key): the Sort-friendly URI Reordering
+    Transform — the Common Crawl / web-archive (CDX) index key.
+    Scheme dropped, host lowercased, www stripped, default ports
+    dropped (non-default ports kept AFTER the reversed host, per the
+    convention), host labels REVERSED and comma-joined, then ')' +
+    path (trailing slash trimmed) + sorted query.
+
+    The point is the prefix-ordering property: every page of
+    example.com and its subdomains shares the 'com,example' prefix,
+    so a SURT-sorted (range-partitioned / Iceberg-sorted) index
+    serves whole-domain lookups as range scans instead of full scans
+    — the reason web archives key their billions of captures this
+    way. Builds on url_normalize's parse; zero-shuffle codegen."""
+    base = url_normalize(df, url_col, id_col)
+    host = F.col("host")
+    has_port = F.instr(host, ":") > 0
+    port = F.when(has_port, F.expr("substring(host, instr(host, ':'))")) \
+        .otherwise(F.lit(""))
+    hostonly = F.when(
+        has_port, F.expr("substring(host, 1, instr(host, ':') - 1)")) \
+        .otherwise(host)
+    rev = F.array_join(F.reverse(F.split(hostonly, "\\.")), ",")
+    qpart = F.when(F.instr(F.col("url_norm"), "?") > 0,
+                   F.expr("substring(url_norm, "
+                          "instr(url_norm, '?'))")) \
+        .otherwise(F.lit(""))
+    surt = F.concat(rev, port, F.lit(")"), F.col("path"), qpart)
+    return base.select("id", "url", surt.alias("surt_key"))
+
+
 def blocklist_filter(df: DataFrame, blocklist: DataFrame,
                      domain_col: str = "source",
                      block_col: str = "domain") -> DataFrame:

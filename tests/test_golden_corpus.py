@@ -55,7 +55,15 @@ def _load_frozen(name="pdf_blocks"):
 def _rebuild_pdf(frozen, page_w=595.32, page_h=841.92, **kw):
     """Invert normalization: frozen (x0, x1, y0, y1) -> baseline (x, y)
     + font size + a uniform-width /Widths font reproducing the extent.
-    Non-ASCII lines are emitted as character codes + /ToUnicode."""
+    Non-ASCII lines are emitted as character codes + /ToUnicode.
+
+    Boxes are interleaved (evens then odds) so same-baseline frozen
+    NEIGHBORS are never stream-consecutive: the parser's
+    pdfminer-style line assembly merges only stream-adjacent runs,
+    and the real source PDFs emit such boxes in separate passes —
+    which is exactly why pdfminer kept them separate in the ground
+    truth."""
+    frozen = list(frozen[::2]) + list(frozen[1::2])
     lines, fonts, cmaps = [], {}, {}
     for li, tb in enumerate(frozen):
         size = (tb["y1"] - tb["y0"]) * page_h  # box height == size

@@ -875,3 +875,28 @@ def test_c4_filters_plan_zero_shuffle(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_surt_keys_canonical_prefix_ordering(spark):
+    """SURT: reversed host labels + ')' + path + sorted query; www /
+    default-port / fragment variants of one resource collapse to one
+    key, subdomains share the registered-domain prefix."""
+    from edspdf_spark.operators.urls import surt_keys
+
+    rows = [(0, "https://www.Example.COM:443/a/b/?b=2&a=1#frag"),
+            (1, "http://example.com/a/b?a=1&b=2"),
+            (2, "http://news.example.com/top"),
+            (3, "http://example.com:8080/x"),
+            (4, "http://host.org/")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.id: r.surt_key for r in surt_keys(df).collect()}
+    assert got[0] == "com,example)/a/b?a=1&b=2"
+    assert got[1] == "com,example)/a/b?a=1&b=2"     # variant collapses
+    assert got[2] == "com,example,news)/top"        # shared prefix
+    assert got[2].startswith("com,example")
+    assert got[3] == "com,example:8080)/x"          # port after host
+    assert got[4] == "org,host)"
+    # prefix-ordering property: sorting keys groups a domain's pages
+    keys = sorted(got.values())
+    dom = [k for k in keys if k.startswith("com,example")]
+    assert keys.index(dom[0]) + len(dom) - 1 == keys.index(dom[-1])
