@@ -69,7 +69,7 @@ QUERIES = ["winnow_fingerprints", "simsearch_topk", "simsearch_ivf",
            "hash_split", "stratified_sample", "domain_stats",
            "blocklist_filter", "latest_capture", "events_hourly",
            "trainable_classify", "mask_classify", "aggregate_lines",
-           "passage_dedup", "c4_filters"]
+           "passage_dedup", "c4_filters", "surt_keys"]
 
 # 10 deterministic vowel permutations: replica r rewrites most shingles
 # without touching length/word structure (replica 0 = identity)
