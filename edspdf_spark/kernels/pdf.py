@@ -115,6 +115,32 @@ class FontInfo:
     def decode(self, text: str) -> str:
         return self.decode_codes(self.iter_codes(text))
 
+    def show_info(self, raw: str, size: float):
+        """One-pass metrics for a shown string: (decoded_text,
+        total_advance, first_char_advance, last_char_advance) — the
+        hot path of the content walker, with an O(1) branch for the
+        plain monospaced simple font (the synth-corpus case)."""
+        if not self.two_byte and self.widths is None:
+            if not raw:
+                return "", 0.0, 0.0, 0.0
+            w = CHAR_WIDTH * size / 1000.0
+            text = raw if self.to_unicode is None else \
+                "".join(self.to_unicode.get(ord(c), c) for c in raw)
+            return text, len(raw) * w, w, w
+        codes = self.iter_codes(raw)
+        if not codes:
+            return "", 0.0, 0.0, 0.0
+        if self.two_byte:
+            cw, dw = self.cid_widths or {}, self.default_width
+            advs = [cw.get(c, dw) * size / 1000.0 for c in codes]
+        else:
+            lo = self.first_char
+            hi = lo + len(self.widths)
+            advs = [(self.widths[c - lo] if lo <= c < hi
+                     else self.missing_width) * size / 1000.0
+                    for c in codes]
+        return (self.decode_codes(codes), sum(advs), advs[0], advs[-1])
+
 
 # ---------------------------------------------------------------------------
 # Writer
@@ -930,6 +956,13 @@ def _mat_mult(m1, m2):
             e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
 
 
+def _pretranslate(tx, ty, m):
+    """translate(tx, ty) x m — the hot compose (advances, TJ kerns,
+    Td): only e/f change, 4 mults instead of 12."""
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
 def _run_content(stream: bytes,
                  font_names: Dict[str, object]) -> List[ParsedLine]:
     """Interpret a content stream; every BT..ET block becomes one line.
@@ -970,15 +1003,15 @@ def _run_content(stream: bytes,
         nonlocal tm, cur
         if not in_text:
             raise PdfParseError("Tj outside BT/ET")
-        codes = finfo.iter_codes(text)
-        if not codes:
+        decoded, adv_text, first_adv, last_adv = \
+            finfo.show_info(text, size)
+        if not decoded and adv_text == 0.0:
             return
-        trm = _mat_mult(tm, ctm)
+        trm = tm if ctm == _MAT_ID else _mat_mult(tm, ctm)
         ox, oy = trm[4], trm[5]
         ax = trm[0] if trm[0] != 0 else 1.0    # x-axis image scale
         dyy = abs(trm[3]) if trm[3] != 0 else abs(trm[1]) or 1.0
         size_dev = size * dyy
-        adv_text = sum(finfo.code_advance(c, size) for c in codes)
         x_a, x_b = ox, ox + adv_text * ax
         x_start, x_end = (x_a, x_b) if x_a <= x_b else (x_b, x_a)
         y0 = oy + DESCENT * size_dev / 1000.0
@@ -991,11 +1024,10 @@ def _run_content(stream: bytes,
             cur.y0 = min(cur.y0, y0)
             cur.y1 = max(cur.y1, y1)
         if not cur.chars:
-            cur.first_w = finfo.code_advance(codes[0], size) * abs(ax)
-        cur.last_w = finfo.code_advance(codes[-1], size) * abs(ax)
-        cur.chars.extend((ch, font, True)
-                         for ch in finfo.decode_codes(codes))
-        tm = _mat_mult((1.0, 0.0, 0.0, 1.0, adv_text, 0.0), tm)
+            cur.first_w = first_adv * abs(ax)
+        cur.last_w = last_adv * abs(ax)
+        cur.chars.extend((ch, font, True) for ch in decoded)
+        tm = _pretranslate(adv_text, 0.0, tm)
 
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup
@@ -1053,7 +1085,7 @@ def _run_content(stream: bytes,
                 dx, dy = float(stack[-2]), float(stack[-1])
                 if op == "TD":
                     leading = -dy
-                tlm = _mat_mult((1.0, 0.0, 0.0, 1.0, dx, dy), tlm)
+                tlm = _pretranslate(dx, dy, tlm)
                 tm = tlm
                 flush()
                 stack.clear()
@@ -1061,7 +1093,7 @@ def _run_content(stream: bytes,
                 leading = float(stack[-1])
                 stack.clear()
             elif op == "T*":
-                tlm = _mat_mult((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+                tlm = _pretranslate(0.0, -leading, tlm)
                 tm = tlm
                 flush()
                 stack.clear()
@@ -1075,9 +1107,8 @@ def _run_content(stream: bytes,
                     elif isinstance(item, float):
                         # standard TJ kerning: a number n translates the
                         # text matrix by -n/1000*size (horizontal writing)
-                        tm = _mat_mult(
-                            (1.0, 0.0, 0.0, 1.0,
-                             -item / 1000.0 * size, 0.0), tm)
+                        tm = _pretranslate(
+                            -item / 1000.0 * size, 0.0, tm)
                 stack.clear()
             else:
                 stack.clear()
