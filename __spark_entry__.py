@@ -5,13 +5,19 @@ pipeline over a deterministic synthetic Common-Crawl-style pages
 table sized from sf0.001.
 
 `queries()` / `oracle_sql()` — one entry per implemented operator
-(SURVEY.md §2 + the training-data operator suite). Every query except
-bloc_transformer (attention is not SQL-expressible) carries an exact
-DuckDB oracle — including the multimodal metadata columns and the
-full PDF/HTML parse pipelines, whose expected output is derived in
-closed form from the synth generator formulas (the corpus is
-constructed inversion-free under the reading-order relation, so
-generation order is reading order). All shared math uses
+(SURVEY.md §2 + the training-data operator suite). EVERY query
+carries an exact DuckDB oracle — including the multimodal metadata
+columns and the full PDF/HTML parse pipelines, whose expected output
+is derived in closed form from the synth generator formulas (the
+corpus is constructed inversion-free under the reading-order
+relation, so generation order is reading order). The two queries
+whose value math is not SQL-expressible (bloc_transformer's softmax
+attention, complexity_signals' DEFLATE length) derive their ROW SET
+and SQL-expressible columns independently in DuckDB and pin the
+remaining values as frozen-literal VALUES tables computed once from
+the deterministic corpus (the trainable_classify frozen-weights
+precedent; see edspdf_spark/frozen.py + jobs/freeze_goldens.py).
+All shared math uses
 engine-portable constructions (md5-prefix BIGINT hashes, integer
 arithmetic, quantized dot products, verbatim float op order,
 printf('%g') write->read round-trips) so value hashes match
@@ -679,9 +685,13 @@ _TRANSFORMER_WEIGHTS = _freeze_transformer()
 
 
 def q_bloc_transformer(spark, sf_dir):
-    """rows-only: box-transformer contextualization over box-layout
-    embeddings (attention/softmax are not SQL-expressible; the kernel
-    is covered by structural pytest properties instead)."""
+    """Box-transformer contextualization over box-layout embeddings.
+    Attention/softmax is not SQL-expressible, so the oracle derives
+    the row set (url, page_num, order_idx) independently from the
+    synth-corpus CTE and joins the contextualized values from the
+    frozen-literal golden table (edspdf_spark/frozen.py, regenerated
+    by jobs/freeze_goldens.py); the kernel math additionally carries
+    structural pytest properties."""
     from edspdf_spark.operators.embeddings import box_layout_embed
     from edspdf_spark.operators.transformer import box_transformer_embed
 
@@ -692,6 +702,29 @@ def q_bloc_transformer(spark, sf_dir):
                           first_page_vec=_EMB_FP, last_page_vec=_EMB_LP)
     out = box_transformer_embed(bl, _TRANSFORMER_WEIGHTS)
     return out.select("url", "page_num", "order_idx", "z0", "z1", "z23")
+
+
+def _bloc_transformer_oracle() -> str:
+    """Row set from the independent synth CTE; z values pinned from
+    the frozen golden table. An inner join means any disagreement in
+    the derived row set (missing/extra blocs, wrong order indices)
+    shrinks the oracle row count and fails the driver compare."""
+    from edspdf_spark.frozen import BLOC_TRANSFORMER_GOLDEN
+
+    rows = ", ".join(
+        f"({i}, {p}, {o}, CAST('{z0}' AS DOUBLE), CAST('{z1}' AS DOUBLE),"
+        f" CAST('{z23}' AS DOUBLE))"
+        for i, p, o, z0, z1, z23 in BLOC_TRANSFORMER_GOLDEN)
+    return _synth_pdf_cte(40) + f""",
+frozen(i, p, order_idx, z0, z1, z23) AS (SELECT * FROM (VALUES {rows}))
+SELECT 'https://example.org/doc/' || lpad(CAST(l.i AS VARCHAR), 8, '0')
+         || '.pdf' AS url,
+       CAST(l.p AS INTEGER) AS page_num,
+       CAST(l.order_idx AS INTEGER) AS order_idx,
+       f.z0, f.z1, f.z23
+FROM labeled l
+JOIN frozen f ON f.i = l.i AND f.p = l.p AND f.order_idx = l.order_idx
+"""
 
 
 # huggingface-embedding analog: window/stride small enough that the
@@ -1050,7 +1083,8 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_jaccard(spark, sf_dir):
     sh = shingle_table(_corpus_near(spark, sf_dir), k=3)
-    return jaccard_pairs(sh, threshold=0.5, min_intersect=3)
+    return jaccard_pairs(sh, threshold=0.5, min_intersect=3,
+                         max_doc_freq=256)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -3252,7 +3286,8 @@ def q_containment_pairs(spark, sf_dir):
            .select((F.col("doc_id") + 2000000000000000).alias("doc_id"),
                    F.expr("substr(text, 1, 120)").alias("text")))
     sh = shingle_table(d.unionByName(exc), k=3)
-    return containment_pairs(sh, threshold=0.7, min_intersect=3)
+    return containment_pairs(sh, threshold=0.7, min_intersect=3,
+                             max_doc_freq=256)
 
 
 # head-section corpus for page-metadata extraction: title always,
@@ -4014,13 +4049,81 @@ FROM c
 """
 
 
+# deterministic mixed-entropy corpus for the complexity oracle: a
+# repeated low-entropy prefix (1-9 distinct hex chars x 1-37 copies)
+# followed by 0-4 md5 blocks of near-maximal hex entropy — identical
+# formulas in Spark SQL, DuckDB SQL, and the python pin below
+_CX_N = 400
+_CX_SPARK_TEXT = (
+    "repeat(substr(md5(cast(cast(id AS string) AS binary)), 1, "
+    "cast(1 + id % 9 AS int)), cast(1 + id % 37 AS int)) || "
+    + " || ".join(
+        f"CASE WHEN id % 5 > {j} THEN md5(cast(concat(cast(id AS string),"
+        f" ':{j}') AS binary)) ELSE '' END" for j in range(4)))
+_CX_DUCK_TEXT = (
+    "repeat(substr(md5(CAST(i AS VARCHAR)), 1, CAST(1 + i % 9 AS INT)), "
+    "CAST(1 + i % 37 AS INT)) || "
+    + " || ".join(
+        f"CASE WHEN i % 5 > {j} THEN md5(CAST(i AS VARCHAR) || ':{j}')"
+        " ELSE '' END" for j in range(4)))
+
+
+def _cx_text(i: int) -> str:
+    import hashlib
+
+    base = hashlib.md5(str(i).encode()).hexdigest()
+    rep = base[: 1 + i % 9] * (1 + i % 37)
+    return rep + "".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+                         for j in range(4) if i % 5 > j)
+
+
 def q_complexity_signals(spark, sf_dir):
-    """Rows-only by nature: DEFLATE length is not SQL-expressible
-    (the bloc_transformer precedent); kernel goldens carry the value
-    checks."""
+    """zlib/entropy information-density signals over the deterministic
+    mixed-entropy corpus. DEFLATE length is not SQL-expressible, so
+    the oracle derives id/n_bytes in SQL, pins (deflate_bytes,
+    entropy_milli) as frozen literals recomputed from the same
+    deterministic texts, and cross-checks compress_milli as SQL
+    integer division of the two (the bloc_transformer precedent)."""
     from edspdf_spark.operators.analysis import complexity_signals
 
-    return complexity_signals(_docs(spark, sf_dir))
+    corpus = spark.range(_CX_N).selectExpr(
+        "id AS doc_id", f"{_CX_SPARK_TEXT} AS text")
+    return complexity_signals(corpus)
+
+
+def _complexity_oracle() -> str:
+    """Frozen (deflate_bytes, entropy_milli) per doc: the identical
+    float64 op order as kernels complexity_signals (np.bincount in
+    byte-value order, numpy sum, truncation at int()) over texts
+    rebuilt with hashlib — zlib level pinned at 6 on both sides."""
+    import zlib
+
+    import numpy as np
+
+    vals = []
+    for i in range(_CX_N):
+        raw = _cx_text(i).encode("utf-8")
+        n = len(raw)
+        comp = len(zlib.compress(raw, 6))
+        counts = np.bincount(np.frombuffer(raw, dtype=np.uint8),
+                             minlength=256).astype(np.float64)
+        p = counts[counts > 0] / n
+        ent = float(-(p * np.log2(p)).sum())
+        vals.append(f"({i}, {comp}, {int(ent * 1000)})")
+    return f"""
+WITH corpus AS (
+  SELECT i AS id, {_CX_DUCK_TEXT} AS text
+  FROM generate_series(0, {_CX_N - 1}) g(i)),
+frozen(id, deflate_bytes, entropy_milli) AS (
+  SELECT * FROM (VALUES {", ".join(vals)}))
+SELECT CAST(c.id AS BIGINT) AS id,
+       CAST(length(c.text) AS BIGINT) AS n_bytes,
+       CAST(f.deflate_bytes AS BIGINT) AS deflate_bytes,
+       (1000 * CAST(f.deflate_bytes AS BIGINT)) // length(c.text)
+         AS compress_milli,
+       CAST(f.entropy_milli AS BIGINT) AS entropy_milli
+FROM corpus c JOIN frozen f ON f.id = c.id
+"""
 
 
 def q_crawl_schedule(spark, sf_dir):
@@ -4358,10 +4461,10 @@ GROUP BY md5(text)
 """
 
 _JACCARD_CORE = """
-  sizes AS (SELECT id, count(*) AS sz FROM codes GROUP BY id),
+  sizes AS (SELECT id, count(*) AS sz FROM {src} GROUP BY id),
   inter AS (
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-    FROM codes a JOIN codes b ON a.code = b.code AND a.id < b.id
+    FROM {src} a JOIN {src} b ON a.code = b.code AND a.id < b.id
     GROUP BY a.id, b.id
     HAVING count(*) >= {min_intersect}
   ),
@@ -4374,9 +4477,20 @@ _JACCARD_CORE = """
   )
 """
 
+# mirror of dedup._cap_doc_freq: the DEFAULT-ON hot-shingle guard of
+# the self-joining pair operators (sizes computed AFTER the drop)
+_CAPPED_SQL = """
+  capped AS (
+    SELECT id, code FROM codes
+    WHERE code IN (SELECT code FROM codes
+                   GROUP BY code HAVING count(*) <= {cap})
+  )
+"""
+
 _ORACLES["dedup_jaccard"] = (
     SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
-    + ", " + _JACCARD_CORE.format(min_intersect=3)
+    + ", " + _CAPPED_SQL.format(cap=256)
+    + ", " + _JACCARD_CORE.format(min_intersect=3, src="capped")
     + """
 SELECT id_a, id_b, inter, size_a, size_b, jaccard
 FROM jac WHERE jaccard >= CAST(5 AS DOUBLE)/10
@@ -4384,7 +4498,8 @@ FROM jac WHERE jaccard >= CAST(5 AS DOUBLE)/10
 
 _ORACLES["containment_pairs"] = (
     SHINGLES_SQL.format(corpus=CORPUS_EXCERPT_SQL)
-    + ", " + _JACCARD_CORE.format(min_intersect=3)
+    + ", " + _CAPPED_SQL.format(cap=256)
+    + ", " + _JACCARD_CORE.format(min_intersect=3, src="capped")
     + """
 , dirs AS (
   SELECT id_a AS id_src, id_b AS id_dst, inter,
@@ -4417,7 +4532,7 @@ _ORACLES["dedup_minhash_lsh"] = (
     SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
     + ", " + _minhash_sql(8)
     + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
-    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + ", " + _JACCARD_CORE.format(min_intersect=1, src="codes")
     + """
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
@@ -4428,7 +4543,7 @@ _ORACLES["edit_verified"] = (
     SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
     + ", " + _minhash_sql(8)
     + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
-    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + ", " + _JACCARD_CORE.format(min_intersect=1, src="codes")
     + """,
 pairs AS (
   SELECT c.id_a, c.id_b FROM cand c JOIN jac j
@@ -4455,7 +4570,7 @@ _ORACLES["dedup_components"] = (
     SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
     + ", " + _minhash_sql(8)
     + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
-    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + ", " + _JACCARD_CORE.format(min_intersect=1, src="codes")
     + """,
 pairs AS (
   SELECT c.id_a, c.id_b
@@ -4487,7 +4602,7 @@ _ORACLES["dedup_keep_best"] = (
     SHINGLES_SQL.format(corpus=CORPUS_NEAR_SQL)
     + ", " + _minhash_sql(8)
     + f", cand AS (SELECT DISTINCT id_a, id_b FROM ({_CAND_UNION}))"
-    + ", " + _JACCARD_CORE.format(min_intersect=1)
+    + ", " + _JACCARD_CORE.format(min_intersect=1, src="codes")
     + """,
 pairs AS (
   SELECT c.id_a, c.id_b
@@ -4960,15 +5075,18 @@ FROM r WHERE rk <= 5
 
 
 def oracle_sql() -> dict[str, str]:
-    """Two queries are absent here by nature: bloc_transformer
-    (attention/softmax is not SQL-expressible) and complexity_signals
-    (DEFLATE length is not SQL-expressible) — the driver records
-    rows-only checks for them; both carry kernel/structural pytest
-    coverage instead. Everything else, including the full PDF/HTML
-    parse pipelines and the multimodal metadata columns (closed-form
-    from the deterministic payload recipe), carries an exact
-    oracle."""
+    """EVERY queries() entry has an oracle. The two whose value math
+    is not SQL-expressible (bloc_transformer softmax attention,
+    complexity_signals DEFLATE) derive their row set and
+    SQL-expressible columns independently and pin the rest as
+    frozen-literal VALUES from the deterministic corpus (see
+    edspdf_spark/frozen.py + jobs/freeze_goldens.py). Everything
+    else, including the full PDF/HTML parse pipelines and the
+    multimodal metadata columns (closed-form from the deterministic
+    payload recipe), is derived end-to-end in DuckDB."""
     out = dict(_ORACLES)
+    out["bloc_transformer"] = _bloc_transformer_oracle()
+    out["complexity_signals"] = _complexity_oracle()
     out["host_pagerank"] = _pagerank_oracle()
     out["host_label_prop"] = _label_prop_oracle()
     out["host_degrees"] = _HOST_DEGREES_ORACLE

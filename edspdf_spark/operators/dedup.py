@@ -58,13 +58,46 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     return sh
 
 
+# default hot-shingle cap for the SELF-JOINING pair operators: a
+# shingle present in f documents contributes f^2 join rows, so an
+# uncapped stop-shingle is the one quadratic blowup in the suite (at
+# 10^12 docs, "all rights reserved"-class shingles alone would melt
+# the shuffle). 256 keeps any single shingle's contribution under
+# ~65k pairs while leaving genuinely near-duplicate content (which
+# shares MANY shingles, each of low doc frequency) untouched.
+HOT_SHINGLE_DOC_FREQ = 256
+
+
+def _cap_doc_freq(shingles: DataFrame,
+                  max_doc_freq: Optional[int]) -> DataFrame:
+    """In-plan doc-frequency guard applied before any shingle
+    self-join (shingle_table emits one row per DISTINCT shingle per
+    doc, so count(*) per code IS document frequency). One extra
+    aggregation over the shingle table — linear, map-side-combined —
+    buys freedom from the quadratic stop-shingle blowup."""
+    if max_doc_freq is None:
+        return shingles
+    freq = shingles.groupBy("code").agg(F.count("*").alias("_df"))
+    keep = freq.where(F.col("_df") <= max_doc_freq).select("code")
+    return shingles.join(keep, "code")
+
+
 def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
-                  min_intersect: int = 1) -> DataFrame:
+                  min_intersect: int = 1,
+                  max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ
+                  ) -> DataFrame:
     """Exact Jaccard over shingle sets: (id_a, id_b, inter, size_a,
     size_b, jaccard) for pairs with jaccard >= threshold.
 
     jaccard = inter / (size_a + size_b - inter): integer inputs, so
-    the double division is bit-identical across engines."""
+    the double division is bit-identical across engines.
+
+    max_doc_freq (DEFAULT ON) drops shingles appearing in more than
+    that many documents before the self-join — set sizes are computed
+    AFTER the drop, so jaccard stays a true set ratio over the capped
+    universe. Pass None ONLY for inputs already bounded by
+    construction (e.g. LSH-candidate verification)."""
+    shingles = _cap_doc_freq(shingles, max_doc_freq)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("id").alias("id_a"), "code")
     b = shingles.select(F.col("id").alias("id_b"), "code")
@@ -136,7 +169,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
     sh_cand = sh.join(cand_ids, "id", "leftsemi")
-    verified = jaccard_pairs(sh_cand, threshold=threshold)
+    # max_doc_freq=None: the verification input is leftsemi-pruned to
+    # candidate documents only (bounded by construction), and the
+    # verified jaccard must be over the SAME shingle universe the
+    # signatures were built from — corpus-level capping happens via
+    # this function's own max_doc_freq at shingle_table time
+    verified = jaccard_pairs(sh_cand, threshold=threshold,
+                             max_doc_freq=None)
     return (cand.join(verified, ["id_a", "id_b"])
             .select("id_a", "id_b", "jaccard"))
 
@@ -429,7 +468,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
 
 
 def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
-                      min_intersect: int = 1) -> DataFrame:
+                      min_intersect: int = 1,
+                      max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ
+                      ) -> DataFrame:
     """One-way near-duplication: containment(src in dst) =
     |S_src ∩ S_dst| / |S_src| — catches excerpts, quotes, and
     page-in-site copies that symmetric Jaccard misses whenever the
@@ -437,12 +478,14 @@ def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
     containment -> 1). Emits DIRECTIONAL rows (id_src, id_dst, inter,
     size_src, size_dst, containment) with containment >= threshold.
 
-    Same scale shape as jaccard_pairs: one shingle self-join (feed a
-    shingle_table built with max_doc_freq to pre-drop stop-shingles /
-    skew), intersections computed once per unordered pair and fanned
-    into both directions after aggregation — the direction fan-out
-    happens on pair rows, never on shingle rows.
+    Same scale shape as jaccard_pairs: one shingle self-join behind
+    the DEFAULT-ON max_doc_freq stop-shingle/skew guard (sizes are
+    computed after the drop; None opts out for inputs bounded by
+    construction), intersections computed once per unordered pair and
+    fanned into both directions after aggregation — the direction
+    fan-out happens on pair rows, never on shingle rows.
     """
+    shingles = _cap_doc_freq(shingles, max_doc_freq)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("id").alias("id_a"), "code")
     b = shingles.select(F.col("id").alias("id_b"), "code")

@@ -112,6 +112,51 @@ def test_containment_symmetric_dup_both_directions(spark):
     assert got == [(1, 2), (2, 1)]
 
 
+# --- hot-shingle doc-frequency cap ----------------------------------------
+
+def test_hot_shingle_cap_kills_stop_shingle_blowup(spark):
+    """A stop-shingle present in EVERY doc must not generate the
+    quadratic all-pairs set once the (default-on) cap fires: docs
+    share only the stop phrase, so after the cap drops it no pair
+    survives; uncapped, every pair appears."""
+    from edspdf_spark.operators.dedup import (containment_pairs,
+                                              jaccard_pairs,
+                                              shingle_table)
+    stop = "all rights reserved"
+    rows = [(i, f"{stop} unique{i}a unique{i}b unique{i}c")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_table(df, k=3)
+
+    # every doc carries the stop shingle -> doc freq 40 > cap 8
+    capped = jaccard_pairs(sh, threshold=0.01, min_intersect=1,
+                           max_doc_freq=8)
+    assert capped.count() == 0
+    assert containment_pairs(sh, threshold=0.01, min_intersect=1,
+                             max_doc_freq=8).count() == 0
+    # explicit opt-out reproduces the uncapped quadratic behavior
+    uncapped = jaccard_pairs(sh, threshold=0.01, min_intersect=1,
+                             max_doc_freq=None)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_hot_shingle_cap_default_transparent_on_clean_corpus(spark):
+    """On a corpus with no hot shingles the default cap must be a
+    no-op: identical pair sets and identical jaccard values."""
+    from edspdf_spark.operators.dedup import jaccard_pairs, shingle_table
+    rows = [(1, "one two three four five"),
+            (2, "one two three four six"),
+            (3, "seven eight nine ten eleven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_table(df, k=3)
+    got_default = {(r.id_a, r.id_b, r.jaccard)
+                   for r in jaccard_pairs(sh, threshold=0.1).collect()}
+    got_uncapped = {(r.id_a, r.id_b, r.jaccard)
+                    for r in jaccard_pairs(sh, threshold=0.1,
+                                           max_doc_freq=None).collect()}
+    assert got_default == got_uncapped and got_default
+
+
 # --- keep_best_per_cluster -------------------------------------------------
 
 def test_keep_best_overrides_min_id(spark):
