@@ -1791,7 +1791,8 @@ FUNNEL_STOPWORDS = ["join", "hash", "row", "batch", "scan", "column",
 _C4_SPARK_TEXT = """
 concat(
   array_join(transform(
-    sequence(0, greatest(CAST(ceil(size(c4toks) / 7.0) AS INT) - 1, 0)),
+    sequence(0, greatest(CAST(ceil(CAST(size(c4toks) AS DOUBLE) / 7)
+                              AS INT) - 1, 0)),
     i -> concat(array_join(slice(c4toks, i * 7 + 1, 7), ' '),
                 CASE WHEN i % 4 = 0 THEN '.'
                      WHEN i % 4 = 1 THEN ''
@@ -1805,8 +1806,8 @@ concat(
 
 _C4_DUCK_TEXT = """
 array_to_string(list_transform(
-    generate_series(0, greatest(CAST(ceil(len(c4toks) / 7.0) AS INT) - 1,
-                                0)),
+    generate_series(0, greatest(CAST(ceil(CAST(len(c4toks) AS DOUBLE) / 7)
+                                     AS INT) - 1, 0)),
     i -> array_to_string(list_slice(c4toks, i * 7 + 1, i * 7 + 7), ' ')
          || CASE WHEN i % 4 = 0 THEN '.'
                  WHEN i % 4 = 1 THEN ''
@@ -3982,10 +3983,17 @@ uas AS (
            bool_or(lit_match) OVER (PARTITION BY host)) AS applies
   FROM uas0)
 SELECT g.host,
-       CAST(min(CAST(g.value AS BIGINT)) AS BIGINT) AS crawl_delay_s
+       CAST(min(CAST(split_part(g.value, '.', 1) AS BIGINT) * 1000
+                + CAST(rpad(substr(split_part(g.value, '.', 2), 1, 3),
+                            3, '0') AS BIGINT)) AS BIGINT)
+         AS crawl_delay_ms,
+       CAST(min(CAST(split_part(g.value, '.', 1) AS BIGINT) * 1000
+                + CAST(rpad(substr(split_part(g.value, '.', 2), 1, 3),
+                            3, '0') AS BIGINT)) // 1000 AS BIGINT)
+         AS crawl_delay_s
 FROM grp g JOIN uas u ON g.host = u.host AND g.group_id = u.group_id
 WHERE g.directive = 'crawl-delay'
-  AND regexp_matches(g.value, '^[0-9]+$') AND u.applies
+  AND regexp_matches(g.value, '^[0-9]+(\\.[0-9]+)?$') AND u.applies
 GROUP BY g.host
 """
 

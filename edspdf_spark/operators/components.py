@@ -60,7 +60,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 50,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 1_000_000,
+                         driver_max_bytes: int = 32 * 2 ** 20) -> DataFrame:
     """pairs(id_a, id_b) -> (id, component) where component = min id
     reachable via pair edges. Nodes appearing in no pair are absent
     (callers union singletons if needed).
@@ -69,11 +70,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     relative to the corpus (pairs above threshold after LSH), and each
     distributed propagation round costs a join + checkpoint regardless
     of size — pure overhead on a small graph. Edge sets at or under
-    `driver_threshold` rows therefore run exact union-find on the
-    driver (one collect of the edges — by construction broadcast
-    scale; ~16 bytes/edge); larger sets use the distributed min-label
-    propagation, whose per-round cost is then actually amortized.
-    Both paths produce identical labels.
+    `driver_threshold` rows AND `driver_max_bytes` of raw id payload
+    run exact union-find on the driver (one collect of the edges);
+    larger sets use the distributed min-label propagation, whose
+    per-round cost is then actually amortized. The bytes gate is
+    what keeps WIDE ids honest (r4 ADVICE): a million 200-byte URL
+    edges is ~400 MB of raw payload — and several times that as
+    Python objects on the driver — so payload is measured in-plan
+    (octet_length sum for string/binary ids, 16 bytes/edge for
+    numerics) in the same aggregation that counts the edges. The
+    32 MB raw default leaves the driver transient at a couple hundred
+    MB worst-case after Python object overhead. Both paths produce
+    identical labels.
 
     Raises RuntimeError if the propagation has not converged after
     max_iter rounds (component diameter > max_iter) — unconverged
@@ -88,10 +96,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
                                          F.col("id_a").alias("dst")))
              .distinct()
              .persist())
-    # the persist is materialized either way; the count is free signal
-    n_edges = edges.count()
+    # the persist is materialized either way; count + payload bytes
+    # come out of ONE aggregation job (free routing signal)
+    id_kind = edges.schema["src"].dataType.simpleString()
+    if id_kind in ("string", "binary"):
+        stats = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("src")
+                  + F.octet_length("dst")).alias("payload")).collect()[0]
+        n_edges = stats["n"]
+        payload_bytes = stats["payload"] or 0
+    else:
+        n_edges = edges.count()
+        payload_bytes = 16 * n_edges
     pairs_p.unpersist()
-    if n_edges <= driver_threshold:
+    if n_edges <= driver_threshold and payload_bytes <= driver_max_bytes:
         try:
             return _driver_union_find(edges)
         finally:
@@ -161,10 +180,14 @@ def keep_best_per_cluster(corpus: DataFrame, pairs: DataFrame,
     quality capture, drop its mirrors).
 
     `scores` is (id_col, score:BIGINT) — integer so the argmax is
-    exact. Winner selection is a struct-MIN over (-score, id): a
-    partial aggregate with map-side combine, not a window sort, and —
-    unlike negating the id — it orders (score DESC, id ASC) for ANY
-    orderable id type (string urls included, matching
+    exact, and NON-NEGATIVE by contract (the repo-wide oracled-score
+    rule): the struct-MIN negates score, and negation overflows at
+    Long.MIN_VALUE, so the contract is enforced IN-PLAN — a negative
+    score raises at execution rather than silently mis-ranking
+    (r4 ADVICE). Winner selection is a struct-MIN over (-score, id):
+    a partial aggregate with map-side combine, not a window sort,
+    and — unlike negating the id — it orders (score DESC, id ASC)
+    for ANY orderable id type (string urls included, matching
     dedup_keep_list; r3 ADVICE). Plan shape: corpus joins scores on
     id (usually collapses — scores are derived from the same scan),
     one component-keyed aggregation of (component, best) pairs, one
@@ -178,8 +201,13 @@ def keep_best_per_cluster(corpus: DataFrame, pairs: DataFrame,
     sc = scores.select(F.col(id_col).alias("id"),
                        F.col("score").cast("bigint").alias("score"))
     j = labeled.join(sc, "id")
+    neg = F.expr(
+        "CASE WHEN score < 0 THEN CAST(raise_error("
+        "'keep_best_per_cluster: score must be non-negative "
+        "(documented contract; negation of Long.MIN_VALUE overflows)')"
+        " AS BIGINT) ELSE -score END")
     best = (j.groupBy("component")
-            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+            .agg(F.min(F.struct(neg.alias("ns"),
                                 F.col("id").alias("i")))
                  .alias("b")))
     return (j.join(best, "component")

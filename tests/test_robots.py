@@ -178,9 +178,31 @@ def test_crawl_delays_group_semantics(spark):
          ("c.com", "User-agent: *\nCrawl-delay: 2.5\n"),  # fractional
          ("d.com", "User-agent: *\nDisallow: /x\n")],     # no delay
         "host string, robots_txt string")
-    got = {r.host: r.crawl_delay_s
+    rows = robots_crawl_delays(robots, agent="bot").collect()
+    got_ms = {r.host: r.crawl_delay_ms for r in rows}
+    got_s = {r.host: r.crawl_delay_s for r in rows}
+    # a.com: literal group wins (2 s); c.com: fractional 2.5 s is
+    # honored as 2500 ms (per-mille quantization); b/d: no delay
+    assert got_ms == {"a.com": 2000, "c.com": 2500}
+    assert got_s == {"a.com": 2, "c.com": 2}
+
+
+def test_crawl_delays_fractional_quantization(spark):
+    """Per-mille quantization edge cases: padding, truncation beyond
+    ms, leading-zero fractions, and rejection of malformed values."""
+    from edspdf_spark.operators.robots import robots_crawl_delays
+    robots = spark.createDataFrame(
+        [("p.com", "User-agent: *\nCrawl-delay: 0.5\n"),
+         ("q.com", "User-agent: *\nCrawl-delay: 1.25\n"),
+         ("r.com", "User-agent: *\nCrawl-delay: 3.1459\n"),  # trunc
+         ("s.com", "User-agent: *\nCrawl-delay: 2.05\n"),
+         ("t.com", "User-agent: *\nCrawl-delay: .5\n"),      # malformed
+         ("u.com", "User-agent: *\nCrawl-delay: 5.\n")],     # malformed
+        "host string, robots_txt string")
+    got = {r.host: (r.crawl_delay_ms, r.crawl_delay_s)
            for r in robots_crawl_delays(robots, agent="bot").collect()}
-    assert got == {"a.com": 2}    # min of applicable; others filtered
+    assert got == {"p.com": (500, 0), "q.com": (1250, 1),
+                   "r.com": (3145, 3), "s.com": (2050, 2)}
 
 
 def test_sitemaps_group_independent(spark):
