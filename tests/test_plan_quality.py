@@ -119,10 +119,12 @@ def test_ivf_scoring_is_pythonless(spark):
                           kmeans_fit(sample, k=4, iters=3)))
     assert "EvalPython" not in plan  # no per-row Python anywhere
     # assignment is ONE Arrow matmul stage; no posexplode-style row
-    # amplification on the corpus side (probes explode is query-side
-    # and K-bounded)
+    # amplification on the corpus side (the two Generates are the
+    # query-side probe explode and the k-bounded top-k posexplode)
     assert plan.count("MapInArrow") == 1, plan
-    assert plan.count("Generate") <= 1, plan
+    assert plan.count("Generate") <= 2, plan
+    # and the struct-topk replaced the per-query Window sort entirely
+    assert "Window" not in plan, plan
 
 
 def test_ivf_assignment_preserves_rows(spark):

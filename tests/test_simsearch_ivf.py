@@ -98,23 +98,29 @@ def test_ivf_search_join_shuffles_on_cell(spark, emb):
     queries = emb.where(F.col("vec_id") % 50 == 0)
     cents = e._train_centroids(SF)
 
-    # small query set: AQE broadcasts it — zero corpus shuffle
+    # default: bounded query batch broadcasts — the corpus NEVER
+    # shuffles into the join (explicit hint, threshold-independent)
     df = ivf_topk(emb, queries, cents, k=5, n_probe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin [cell" in plan \
-        or "hashpartitioning(cell" in plan, plan
+    assert "BroadcastHashJoin [cell" in plan, plan
     assert "EvalPython" not in plan
 
-    # large query set (broadcast disabled): the join must partition on
-    # the cell id — 64-way, not 8 hot reducers
+    # beyond-broadcast query sets (broadcast_queries=False): the join
+    # must partition on the cell id — 64-way, not 8 hot reducers
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df2 = ivf_topk(emb, queries, cents, k=5, n_probe=2)
+        df2 = ivf_topk(emb, queries, cents, k=5, n_probe=2,
+                       broadcast_queries=False)
         plan2 = df2._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(cell" in plan2, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # both plans return identical results (same math, different shape)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df2.collect()))
+    assert a == b
 
 
 # --- cluster_balanced_sample -----------------------------------------------
