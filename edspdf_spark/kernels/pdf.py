@@ -527,7 +527,12 @@ _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+# real writers also emit /Contents as an ARRAY of stream refs (the
+# spec allows splitting a page's content at any token boundary)
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _FONTRES_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONTDICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+0\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
@@ -895,17 +900,55 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
                 to_unicode=to_uni, two_byte=two_byte,
                 cid_widths=cid_widths, default_width=default_width)
 
-    # Page object ids, in document order via the Pages tree when present
+    # Page object ids, in document order via the Pages tree when
+    # present. The tree may be NESTED (/Kids pointing at intermediate
+    # /Pages nodes — real writers balance wide documents this way), and
+    # /MediaBox is inheritable from any ancestor node (PDF 32000-1
+    # table 30), so pages are collected by depth-first traversal from
+    # the catalog's root node, carrying the inherited box down.
     page_ids: List[int] = []
-    pages_nodes = [
-        (oid, body) for oid, body in objs.items()
-        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body
-    ]
-    if pages_nodes:
-        _oid, body = pages_nodes[0]
-        km = _KIDS_RE.search(body)
-        if km:
-            page_ids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+    inherited_box: Dict[int, bytes] = {}
+
+    def _walk_pages(oid: int, box: Optional[bytes], depth: int) -> None:
+        if depth > 64:  # cycle guard: malformed self-referential trees
+            raise PdfParseError("Pages tree deeper than 64")
+        body = objs.get(oid)
+        if body is None:
+            raise PdfParseError(f"dangling page ref {oid}")
+        mb_here = _MEDIABOX_RE.search(body)
+        if mb_here:
+            box = mb_here.group(0)
+        km_ = _KIDS_RE.search(body)
+        if km_ is not None and re.search(rb"/Type\s*/Pages\b", body):
+            for r in _REF_RE.finditer(km_.group(1)):
+                _walk_pages(int(r.group(1)), box, depth + 1)
+        else:
+            page_ids.append(oid)
+            if box is not None:
+                inherited_box[oid] = box
+
+    root_pages: Optional[int] = None
+    cat = next((body for body in objs.values()
+                if b"/Type" in body and b"/Catalog" in body), None)
+    if cat is not None:
+        pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", cat)
+        if pm and int(pm.group(1)) in objs:
+            root_pages = int(pm.group(1))
+    if root_pages is None:
+        pages_nodes = [
+            oid for oid, body in objs.items()
+            if b"/Type" in body and b"/Pages" in body and b"/Kids" in body
+        ]
+        # the root node is the one no other /Pages node lists as a kid
+        kids_of = {int(r.group(1))
+                   for oid in pages_nodes
+                   for km_ in [_KIDS_RE.search(objs[oid])] if km_
+                   for r in _REF_RE.finditer(km_.group(1))}
+        roots = [oid for oid in pages_nodes if oid not in kids_of]
+        if roots:
+            root_pages = min(roots)
+    if root_pages is not None:
+        _walk_pages(root_pages, None, 0)
     if not page_ids:
         page_ids = sorted(
             oid for oid, body in objs.items()
@@ -920,20 +963,46 @@ def parse_pdf(data: bytes) -> List[ParsedPage]:
         if body is None:
             raise PdfParseError(f"dangling page ref {pid}")
         mb = _MEDIABOX_RE.search(body)
+        if not mb and pid in inherited_box:
+            mb = _MEDIABOX_RE.search(inherited_box[pid])
         if not mb:
             raise PdfParseError("page without MediaBox")
         x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
         width, height = x1 - x0, y1 - y0
 
+        # /Resources (and its /Font dict) may each be indirect objects
+        # — Word/LibreOffice share one resource dict across pages that
+        # way. Inline dicts keep the old direct-scan behavior.
+        res_body = body
+        rr = _RESOURCES_REF_RE.search(body)
+        if rr:
+            res_body = objs.get(int(rr.group(1)), b"")
+        font_body = res_body
+        fr = _FONTDICT_REF_RE.search(res_body)
+        if fr:
+            font_body = objs.get(int(fr.group(1)), b"")
         font_res = {
             m.group(1).decode(): int(m.group(2))
-            for m in _FONTRES_RE.finditer(body)
+            for m in _FONTRES_RE.finditer(font_body)
         }
 
-        cm = _CONTENTS_RE.search(body)
         lines: List[ParsedLine] = []
+        content_ids: List[int] = []
+        cm = _CONTENTS_RE.search(body)
         if cm:
-            stream = _stream_for_obj(data, int(cm.group(1)), body_starts)
+            content_ids = [int(cm.group(1))]
+        else:
+            am = _CONTENTS_ARR_RE.search(body)
+            if am:
+                content_ids = [int(r.group(1))
+                               for r in _REF_RE.finditer(am.group(1))]
+        if content_ids:
+            # array streams concatenate with a token break between
+            # parts (PDF 32000-1 §7.8.2) — a newline joint is that
+            # break and never splits a token
+            stream = b"\n".join(
+                _stream_for_obj(data, cid, body_starts)
+                for cid in content_ids)
             lines = _run_content(
                 stream,
                 {tag: fonts_by_obj.get(oid, FontInfo(name="Unknown"))
