@@ -9,12 +9,20 @@ Default strategy: ONE hash repartition on xxhash64(url) with a
 partition count finer than the core count. Documents are indivisible
 rows, so a uniform hash already spreads oversized documents as evenly
 as any assignment can; fine-grained partitions + Spark's task
-scheduler absorb the residual per-partition cost variance. (Measured:
-a filter-into-two-branches + union variant double-scans the source
-and double-shuffles — 40% slower on this corpus — so it is opt-in via
-`two_phase=True` for corpora with truly pathological size tails
-where isolating whales into their own partitions matters more than
-one extra scan.)
+scheduler absorb the residual per-partition cost variance.
+
+`two_phase=True` additionally decorrelates oversized documents from
+the url-hash layout, for corpora with truly pathological size tails:
+oversized rows key on their scan arrival index
+(monotonically_increasing_id) instead of the url, so whale placement
+is independent of url clustering and of the normal rows' layout. It
+costs nothing extra by plan shape: ONE scan and ONE shuffle with the
+partition key switched per row. (The earlier filter-into-two-branches
++ union formulation double-scanned the source and double-shuffled for
+the same expected spread — Spark's round-robin repartition reseeds
+per source partition, so it never guaranteed whale-per-partition
+either; it was 40% slower on this corpus and the r4 bench's
+two_phase premium.)
 
 AQE (spark.sql.adaptive.enabled) further splits skewed shuffle
 partitions at runtime; explicit numPartitions here also prevents AQE
@@ -42,11 +50,11 @@ def defuse_skew(pages: DataFrame, num_partitions: Optional[int] = None,
     if not two_phase:
         return pages.repartition(n, F.xxhash64("url"))
     size = F.length(F.col("html"))
-    normal = (pages.where(size <= oversize_bytes)
-              .repartition(n, F.xxhash64("url")))
-    # round-robin: even row spread regardless of key distribution
-    oversized = pages.where(size > oversize_bytes).repartition(n)
-    return normal.unionByName(oversized)
+    key = F.when(size > oversize_bytes,
+                 F.xxhash64(F.monotonically_increasing_id(),
+                            F.lit("whale-spread"))) \
+        .otherwise(F.xxhash64("url"))
+    return pages.repartition(n, key)
 
 
 def bucket_of(url_col, n_buckets: int):
