@@ -199,19 +199,25 @@ def host_pagerank(edges: DataFrame, iterations: int = 4,
         teleport = (100 - damping_pct) * r0 // 100
         ranks = nodes.select("host", F.lit(r0).cast("bigint")
                              .alias("rank_scaled"))
+        # per-host zero row unioned into the contribution aggregation:
+        # sum(contribs + 0) == coalesce(sum(contribs), 0) bit-exactly,
+        # so dangling hosts keep teleport-only rank WITHOUT a per-
+        # iteration nodes-left-join (one fewer join/broadcast build per
+        # round; at 10^9 hosts it also removes a co-partitioned SMJ).
+        zero = nodes.select("host", F.lit(0).cast("bigint").alias("c"))
         for _ in range(iterations):
             r = F.broadcast(ranks) if broadcast_ranks else ranks
-            contrib = (e_deg
-                       .join(r, e_deg.src_host == r.host)
-                       .select(F.col("dst_host").alias("host"),
-                               F.expr("rank_scaled div outdeg")
-                               .alias("c"))
-                       .groupBy("host")
-                       .agg(F.sum("c").alias("contrib")))
-            ranks = (nodes.join(contrib, "host", "left")
+            contrib_rows = (e_deg
+                            .join(r, e_deg.src_host == r.host)
+                            .select(F.col("dst_host").alias("host"),
+                                    F.expr("rank_scaled div outdeg")
+                                    .alias("c")))
+            ranks = (contrib_rows.unionByName(zero)
+                     .groupBy("host")
+                     .agg(F.sum("c").alias("contrib"))
                      .select("host",
                              F.expr(f"{teleport}L + ({damping_pct}L * "
-                                    f"coalesce(contrib, 0L)) div 100")
+                                    f"contrib) div 100")
                              .alias("rank_scaled")))
             ranks = ranks.localCheckpoint(eager=False)
         out = ranks.select(
@@ -256,18 +262,25 @@ def _host_pagerank_lazy(edges: DataFrame, iterations: int,
     teleport = f"(({100 - damping_pct}L * {r0}) div 100)"
     ranks = base.select("host",
                         F.expr(f"{r0}").alias("rank_scaled"))
+    # same zero-row-union shape as the eager path (see comment there);
+    # the per-iteration crossJoin re-attaches the n_hosts scalar, and
+    # its broadcast subplan is IDENTICAL every round so ReuseExchange
+    # materializes it once.
+    zero = nodes.select("host", F.lit(0).cast("bigint").alias("c"))
     for _ in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (e_deg
-                   .join(r, e_deg.src_host == r.host)
-                   .select(F.col("dst_host").alias("host"),
-                           F.expr("rank_scaled div outdeg").alias("c"))
-                   .groupBy("host")
-                   .agg(F.sum("c").alias("contrib")))
-        ranks = (base.join(contrib, "host", "left")
+        contrib_rows = (e_deg
+                        .join(r, e_deg.src_host == r.host)
+                        .select(F.col("dst_host").alias("host"),
+                                F.expr("rank_scaled div outdeg")
+                                .alias("c")))
+        ranks = (contrib_rows.unionByName(zero)
+                 .groupBy("host")
+                 .agg(F.sum("c").alias("contrib"))
+                 .crossJoin(F.broadcast(nh))
                  .select("host",
                          F.expr(f"{teleport} + ({damping_pct}L * "
-                                f"coalesce(contrib, 0L)) div 100")
+                                f"contrib) div 100")
                          .alias("rank_scaled")))
     return ranks.select(
         "host", "rank_scaled",
