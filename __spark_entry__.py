@@ -4282,72 +4282,50 @@ def q_bloom_filter(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver verifies the FIRST 50 entries only
-    # (CORRECTNESS window). Never-driver-checked queries lead; the
-    # long-green round-1/2 suite rotates to the back (VERDICT r3 #1).
+    # (CORRECTNESS window). Round-5 window (rotation policy in
+    # COVERAGE.md): never-driver-green first (bloc_transformer,
+    # complexity_signals), then every query whose operator or oracle
+    # changed since the r4 snapshot (hot-shingle cap, graph rewrite,
+    # fractional crawl-delay, IVF struct-topk, portable-CAST fix,
+    # parser mutations), then the stalest r3-green back entries.
+    # Out-of-window queries are all r4-green (31) or r3-green (17) --
+    # nothing older than two rounds, per policy.
     return {
-        "multimodal_meta": q_multimodal_meta,
-        "png_decode": q_png_decode,
-        "c4_filters": q_c4_filters,
-        "surt_keys": q_surt_keys,
-        "html_extract": q_html_extract,
-        "bloc_embed": q_bloc_embed,
-        "bloc_cnn_pool": q_bloc_cnn_pool,
-        "bloc_hf_embed": q_bloc_hf_embed,
         "bloc_transformer": q_bloc_transformer,
-        "trainable_classify": q_trainable_classify,
+        "complexity_signals": q_complexity_signals,
+        "dedup_jaccard": q_dedup_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "edit_verified": q_edit_verified,
+        "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
+        "cluster_balance": q_cluster_balance,
+        "crawl_delays": q_crawl_delays,
+        "crawl_schedule": q_crawl_schedule,
+        "robots_filter": q_robots_filter,
+        "robots_sitemaps": q_robots_sitemaps,
+        "simsearch_ivf": q_simsearch_ivf,
+        "c4_filters": q_c4_filters,
+        "quality_funnel": q_quality_funnel,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
-        "anchor_terms": q_anchor_terms,
-        "host_label_prop": q_host_label_prop,
         "host_degrees": q_host_degrees,
-        "bloom_filter": q_bloom_filter,
-        "chunk_windows": q_chunk_windows,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "paragraph_classify": q_paragraph_classify,
-        "snapshot_diff": q_snapshot_diff,
-        "fix_mojibake": q_fix_mojibake,
-        "containment_pairs": q_containment_pairs,
-        "registered_domain": q_registered_domain,
-        "html_meta": q_html_meta,
-        "canonical_dedup": q_canonical_dedup,
-        "cluster_balance": q_cluster_balance,
-        "dedup_keep_best": q_dedup_keep_best,
-        "crawl_schedule": q_crawl_schedule,
-        "complexity_signals": q_complexity_signals,
-        "robots_filter": q_robots_filter,
-        "crawl_delays": q_crawl_delays,
-        "regdomain_stats": q_regdomain_stats,
-        "robots_sitemaps": q_robots_sitemaps,
-        "char_profile": q_char_profile,
-        "stream_band_dedup": q_stream_band_dedup,
-        "normalized_dedup": q_normalized_dedup,
-        "domain_top_terms": q_domain_top_terms,
-        "inverted_index": q_inverted_index,
-        "cooc_pmi": q_cooc_pmi,
-        "dataset_card": q_dataset_card,
-        "bm25_topk": q_bm25_topk,
-        "edit_verified": q_edit_verified,
-        "skew_stats": q_skew_stats,
-        "length_quantiles": q_length_quantiles,
-        "intra_line_dedup": q_intra_line_dedup,
-        "domain_hll": q_domain_hll,
-        "events_hourly": q_events_hourly,
-        "tpch_q1": q_tpch_q1,
-        "pipeline_body_text": q_pipeline_body_text,
+        "host_label_prop": q_host_label_prop,
+        "anchor_terms": q_anchor_terms,
         "extract_blocs": q_extract_blocs,
         "staged_pipeline": q_staged_pipeline,
+        "pipeline_body_text": q_pipeline_body_text,
+        "skew_stats": q_skew_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "simsearch_topk": q_simsearch_topk,
+        "knn_classify": q_knn_classify,
         "mask_classify": q_mask_classify,
         "aggregate_lines": q_aggregate_lines,
         "reading_order": q_reading_order,
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_components": q_dedup_components,
         "vocab_stats": q_vocab_stats,
         "simhash_pairs": q_simhash_pairs,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_ivf": q_simsearch_ivf,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -4357,13 +4335,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "pack_sequences": q_pack_sequences,
-        "quality_funnel": q_quality_funnel,
         "url_normalize": q_url_normalize,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_capture": q_latest_capture,
         "sessionize": q_sessionize,
         "bigram_coverage": q_bigram_coverage,
+        "multimodal_meta": q_multimodal_meta,
+        "png_decode": q_png_decode,
+        "surt_keys": q_surt_keys,
+        "html_extract": q_html_extract,
+        "bloc_embed": q_bloc_embed,
+        "bloc_cnn_pool": q_bloc_cnn_pool,
+        "bloc_hf_embed": q_bloc_hf_embed,
+        "trainable_classify": q_trainable_classify,
+        "bloom_filter": q_bloom_filter,
+        "chunk_windows": q_chunk_windows,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "paragraph_classify": q_paragraph_classify,
+        "snapshot_diff": q_snapshot_diff,
+        "fix_mojibake": q_fix_mojibake,
+        "registered_domain": q_registered_domain,
+        "html_meta": q_html_meta,
+        "canonical_dedup": q_canonical_dedup,
+        "regdomain_stats": q_regdomain_stats,
+        "char_profile": q_char_profile,
+        "stream_band_dedup": q_stream_band_dedup,
+        "normalized_dedup": q_normalized_dedup,
+        "domain_top_terms": q_domain_top_terms,
+        "inverted_index": q_inverted_index,
+        "cooc_pmi": q_cooc_pmi,
+        "dataset_card": q_dataset_card,
+        "bm25_topk": q_bm25_topk,
+        "length_quantiles": q_length_quantiles,
+        "intra_line_dedup": q_intra_line_dedup,
+        "domain_hll": q_domain_hll,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
@@ -4374,9 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_classify": q_quality_classify,
         "lm_ppl_buckets": q_lm_ppl_buckets,
-        "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
-        "knn_classify": q_knn_classify,
         "badwords_filter": q_badwords_filter,
         "warc_roundtrip": q_warc_roundtrip,
         "token_budget": q_token_budget,
