@@ -52,9 +52,7 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
                     .alias("shingle"))
           .select("id", code15(F.col("shingle")).alias("code")))
     if max_doc_freq is not None:
-        freq = sh.groupBy("code").agg(F.count("*").alias("_df"))
-        keep = freq.where(F.col("_df") <= max_doc_freq).select("code")
-        sh = sh.join(keep, "code")
+        sh = _cap_doc_freq(sh, max_doc_freq)
     return sh
 
 
@@ -72,14 +70,22 @@ def _cap_doc_freq(shingles: DataFrame,
                   max_doc_freq: Optional[int]) -> DataFrame:
     """In-plan doc-frequency guard applied before any shingle
     self-join (shingle_table emits one row per DISTINCT shingle per
-    doc, so count(*) per code IS document frequency). One extra
-    aggregation over the shingle table — linear, map-side-combined —
-    buys freedom from the quadratic stop-shingle blowup."""
+    doc, so count(*) per code IS document frequency).
+
+    Plan shape: the shingle table is explicitly hash-repartitioned on
+    `code` FIRST, so the doc-freq aggregation, the semi-join against
+    the keep set, and the downstream pair self-join all satisfy their
+    distribution from ONE reused exchange — the expensive
+    explode+hash scan runs exactly once per query instead of once per
+    branch. Count-based (never collect_list), so a stop-shingle with
+    a billion-document frequency costs one long-tail counter, not an
+    OOM — the 100-TB-safe formulation."""
     if max_doc_freq is None:
         return shingles
-    freq = shingles.groupBy("code").agg(F.count("*").alias("_df"))
+    sh = shingles.repartition(F.col("code"))
+    freq = sh.groupBy("code").agg(F.count("*").alias("_df"))
     keep = freq.where(F.col("_df") <= max_doc_freq).select("code")
-    return shingles.join(keep, "code")
+    return sh.join(keep, "code")
 
 
 def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
