@@ -254,7 +254,8 @@ def test_canonical_grouping(spark):
 
 def test_pagerank_iteration_broadcasts_ranks(spark):
     edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
-    plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False))
+    plan = _plan(host_pagerank(edges, iterations=1, checkpoint=False,
+                               driver_threshold=0))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan
 
@@ -410,3 +411,58 @@ def test_host_degrees_plan_reads_shared_edge_cache(spark):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         G.release_graph_caches()
+
+
+def test_pagerank_driver_and_distributed_paths_identical(spark):
+    """The size-adaptive gate (r5): broadcast-scale graphs run the
+    exact integer iteration on the driver; forcing the distributed
+    lazy plan (driver_threshold=0) and the deep checkpointed path
+    must all yield bit-identical ranks."""
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    drv = sorted((r.host, r.rank_scaled, r.rank)
+                 for r in host_pagerank(edges, iterations=4).collect())
+    dist = sorted((r.host, r.rank_scaled, r.rank)
+                  for r in host_pagerank(edges, iterations=4,
+                                         driver_threshold=0).collect())
+    deep = sorted((r.host, r.rank_scaled, r.rank)
+                  for r in host_pagerank(edges, iterations=4,
+                                         checkpoint=True).collect())
+    assert drv == dist == deep
+
+
+def test_label_prop_driver_and_distributed_paths_identical(spark):
+    from edspdf_spark.operators.graph import host_label_propagation
+
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("a", 1), ("d", 0)],
+                                  "host string, label int")
+    drv = sorted((r.host, r.score_scaled, r.verdict)
+                 for r in host_label_propagation(
+                     edges, seeds, iterations=3).collect())
+    dist = sorted((r.host, r.score_scaled, r.verdict)
+                  for r in host_label_propagation(
+                      edges, seeds, iterations=3,
+                      driver_threshold=0).collect())
+    deep = sorted((r.host, r.score_scaled, r.verdict)
+                  for r in host_label_propagation(
+                      edges, seeds, iterations=9).collect())
+    assert drv == dist
+    # the deep checkpointed path runs more iterations; compare it at
+    # its own depth against the forced-distributed lazy... the lazy
+    # cap is LAZY_MAX_ITERS, so match it against the driver rule
+    from edspdf_spark.operators.graph import _driver_label_prop_rows
+    want = sorted(_driver_label_prop_rows(
+        sorted(set(GRAPH)), {"a": 1, "d": 0}, 9, 1000, 700, 300))
+    assert sorted(deep) == want
+
+
+def test_pagerank_bytes_gate_routes_wide_ids_distributed(spark):
+    """A tiny edge COUNT with very wide string hosts must exceed the
+    bytes gate and take the distributed path (same ranks)."""
+    wide = [("h" * 4096 + s, "h" * 4096 + d) for s, d in GRAPH]
+    edges = spark.createDataFrame(wide, "src_host string, dst_host string")
+    drv = sorted((r.host, r.rank_scaled) for r in host_pagerank(
+        edges, iterations=2).collect())
+    routed = sorted((r.host, r.rank_scaled) for r in host_pagerank(
+        edges, iterations=2, driver_max_bytes=1024).collect())
+    assert drv == routed
