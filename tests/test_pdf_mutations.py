@@ -92,3 +92,30 @@ def test_incremental_override_vandalized_base_is_garbage(originals):
     res = extract_doc(truncated)
     got = sorted((b["page_num"], b["text"]) for b in res["blocs"])
     assert res["error"] or got != sorted((p, t) for p, t, *_ in want)
+
+
+def test_extract_doc_byte_flip_fuzz_never_raises():
+    """Common-Crawl reality: truncated/bit-rotted PDFs. Any byte
+    corruption of a valid document must either still parse or come
+    back as an error row — extract_doc never raises and never hangs.
+    Deterministic RNG so failures reproduce."""
+    import random
+
+    from edspdf_spark.kernels import extract_doc
+    from edspdf_spark.synth import make_pdf_bytes
+
+    rng = random.Random(20260818)
+    base = bytearray(make_pdf_bytes(7))
+    for trial in range(60):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            pos = rng.randrange(len(data))
+            data[pos] = rng.randrange(256)
+        res = extract_doc(bytes(data))
+        assert isinstance(res["error"], bool), trial
+        assert isinstance(res["blocs"], list), trial
+
+    # truncations at every granularity
+    for cut in (0, 1, 16, len(base) // 3, len(base) // 2, len(base) - 7):
+        res = extract_doc(bytes(base[:cut]))
+        assert isinstance(res["error"], bool)
