@@ -50,25 +50,50 @@ def _font_bits(fontname: str) -> Tuple[bool, bool]:
     return v
 
 
+# full style-key memo: (fontname_in, upright) -> the exact
+# (fontname, italic, bold) tuple the per-char math below produces.
+# Returning the SAME tuple object for repeated inputs also lets the
+# run-change test short-circuit on identity (hot path: same font as
+# the previous char).
+_KEY_CACHE: Dict[Tuple[Optional[str], bool],
+                 Tuple[str, bool, bool]] = {}
+_NONE_KEY: Tuple[Optional[str], Optional[bool], Optional[bool]] = \
+    (None, None, None)
+
+
 def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
               ) -> Tuple[str, List[StyleSpan]]:
     """chars: iterable of (char_text, fontname, upright).
 
     Returns (normalized_text_rstripped, style_spans).
+
+    This is the hottest loop of the extraction kernel (~37% of
+    per-doc cost before r5), so the per-char work is inlined: the
+    whitespace normalization and the style-key derivation are single
+    dict probes against the module caches (value-identical to
+    _ws_norm/_font_bits — the differential and golden tests pin the
+    semantics char for char).
     """
     spans: List[StyleSpan] = []
     current: Optional[StyleSpan] = None
     # list buffer + integer length instead of per-char string concat
     # (same values: n == len(text), new_n == len(new_text))
     buf: List[str] = []
+    append = buf.append
     n = 0
     ends_space = False
     last: Optional[Tuple[Optional[str], Optional[bool], Optional[bool]]] = None
+    ws_cache = _WS_CACHE
+    key_cache = _KEY_CACHE
 
     for raw, fontname_in, upright in chars:
-        ch = _ws_norm(raw)
+        ch = ws_cache.get(raw)
+        if ch is None:
+            ch = _WS.sub(" ", raw)
+            if len(ws_cache) < 4096:
+                ws_cache[raw] = ch
         if not (ch == " " and (ends_space or n == 0)):
-            buf.append(ch)
+            append(ch)
             new_n = n + len(ch)
             new_ends_space = ch.endswith(" ")
         else:
@@ -76,29 +101,32 @@ def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
             new_ends_space = ends_space
 
         if ch == " ":
-            if last is not None:
-                fontname, italic, bold = last
-            else:
-                fontname, italic, bold = (None, None, None)
+            # a space inherits the style of the preceding character
+            key = last if last is not None else _NONE_KEY
         else:
-            fontname = fontname_in if fontname_in is not None else ""
-            has_italic, bold = _font_bits(fontname)
-            italic = (not upright) or has_italic
+            fk = (fontname_in, upright)
+            key = key_cache.get(fk)
+            if key is None:
+                fontname = fontname_in if fontname_in is not None else ""
+                lowered = fontname.lower()
+                key = (fontname,
+                       (not upright) or ("italic" in lowered),
+                       "bold" in lowered)
+                if len(key_cache) < 4096:
+                    key_cache[fk] = key
 
-        key = (fontname, italic, bold)
-        if key != last:
+        if key is not last and key != last:
             if current is not None:
                 spans.append(current)
             current = {
-                "fontname": fontname,
-                "italic": italic,
-                "bold": bold,
+                "fontname": key[0],
+                "italic": key[1],
+                "bold": key[2],
                 "begin": n,
                 "end": new_n,
             }
         elif ch != " ":
-            assert current is not None
-            current["end"] = new_n
+            current["end"] = new_n  # type: ignore[index]
         n = new_n
         ends_space = new_ends_space
         last = key
