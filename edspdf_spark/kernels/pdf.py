@@ -1095,7 +1095,7 @@ def _run_content(stream: bytes,
         if not cur.chars:
             cur.first_w = first_adv * abs(ax)
         cur.last_w = last_adv * abs(ax)
-        cur.chars.extend((ch, font, True) for ch in decoded)
+        cur.chars.extend([(ch, font, True) for ch in decoded])
         tm = _pretranslate(adv_text, 0.0, tm)
 
     for m in _TOKEN_RE.finditer(stream):
