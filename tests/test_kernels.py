@@ -281,3 +281,57 @@ def test_extract_determinism():
     a = extract_doc(make_pdf_bytes(5))
     b = extract_doc(make_pdf_bytes(5))
     assert a == b
+
+
+def _walk_line_spec(chars):
+    """Spec-faithful naive rendering of the reference char walk
+    (pipes/extractors/pdfminer.py:197-249): per-char string concat,
+    no caches, no inlining. The optimized kernels.styles.walk_line
+    must match this on ANY input, including multi-char ligature
+    expansions and degenerate leading-space spans."""
+    import re
+    spans, current, text, last = [], None, "", None
+    for raw, fontname_in, upright in chars:
+        ch = re.sub(r"\s", " ", raw)
+        new_text = text
+        if not (ch == " " and (text.endswith(" ") or not text)):
+            new_text = text + ch
+        if ch == " ":
+            fontname, italic, bold = last or (None, None, None)
+        else:
+            fontname = fontname_in if fontname_in is not None else ""
+            italic = (not upright) or ("italic" in fontname.lower())
+            bold = "bold" in fontname.lower()
+        key = (fontname, italic, bold)
+        if key != last:
+            if current is not None:
+                spans.append(current)
+            current = {"fontname": fontname, "italic": italic,
+                       "bold": bold, "begin": len(text),
+                       "end": len(new_text)}
+        elif ch != " ":
+            current["end"] = len(new_text)
+        text, last = new_text, key
+    if current is not None:
+        spans.append(current)
+    return text.rstrip(), spans
+
+
+def test_walk_line_matches_spec_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    unit = st.tuples(
+        st.one_of(st.sampled_from([" ", "\t", "\n", "a", "B", "fi",
+                                   "a\tb", "  ", "é", " "]),
+                  st.text(min_size=1, max_size=3)),
+        st.one_of(st.none(), st.sampled_from(
+            ["Arial", "Arial-BoldItalic", "times-bold", "ITALIC-x"])),
+        st.booleans())
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(unit, min_size=0, max_size=30))
+    def run(chars):
+        assert walk_line(chars) == _walk_line_spec(chars)
+
+    run()
