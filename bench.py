@@ -62,6 +62,33 @@ def _settle(max_wait_s: float = 90.0) -> None:
         time.sleep(5.0)
 
 
+def _host_health_probe() -> dict:
+    """One-shot host-speed sentinel recorded in the output JSON: a
+    single-core hash loop and a multithreaded BLAS matmul. On this
+    shared host the effective parallel speed can shift 2-3x between
+    runs (hypervisor neighbors); these two numbers let a reader
+    normalize a run against history (reference on this box: md5
+    ~0.35 s always; matmul 0.4-1.3 s idle->mildly-contended, ~2.8 s
+    during the degraded windows annotated in BENCH/history.jsonl)."""
+    import hashlib
+    t0 = time.time()
+    x = b"x" * 1000
+    for _ in range(200_000):
+        x = hashlib.md5(x).digest() * 62 + b"xx"
+    md5_s = time.time() - t0
+    try:
+        import numpy as np
+        a = np.random.RandomState(0).rand(2000, 2000)
+        t0 = time.time()
+        for _ in range(3):
+            a @ a
+        mm_s = time.time() - t0
+    except Exception:
+        mm_s = None
+    return {"host_md5_200k_s": round(md5_s, 3),
+            "host_matmul_2k_s": round(mm_s, 3) if mm_s else None}
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -144,6 +171,7 @@ def main() -> None:
         "pipeline_docs": n_pipeline,
         "pipeline_docs_per_sec": round(n_pipeline / pipeline_s, 1),
         "cpus": CPUS,
+        "host_health": _host_health_probe(),
     }
     spark.stop()
     line = json.dumps(out)
