@@ -73,12 +73,67 @@ def _unescape(text: str) -> str:
     return _NUM_ENT_RE.sub(_num_entity, text)
 
 
+# charset declarations a crawl actually sees, mapped to stdlib
+# codecs. Sniffing is deterministic: BOM first, else the FIRST
+# `charset=` token in the head bytes, else utf-8. Unknown charsets
+# fall back to utf-8-replace (never raises, the crawl contract).
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "windows-1251": "cp1251", "cp1251": "cp1251",
+    "windows-1250": "cp1250",
+    "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc-jp", "euc-kr": "euc-kr",
+    "gb2312": "gb18030", "gbk": "gb18030", "gb18030": "gb18030",
+    "big5": "big5",
+    "iso-8859-2": "iso-8859-2", "iso-8859-15": "iso-8859-15",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def sniff_charset(data: bytes) -> str:
+    """Deterministic charset sniff for crawl payloads: BOM wins, then
+    the first `charset=` declaration in the leading 2048 bytes
+    (handles both `<meta charset=...>` and the http-equiv
+    Content-Type form), else utf-8."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if data.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if data.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = _CHARSET_RE.search(data[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        return _CHARSET_ALIASES.get(name, "utf-8")
+    return "utf-8"
+
+
+def decode_html(data: bytes) -> str:
+    """bytes -> str via the sniffed charset, replace-on-error; any
+    codec failure falls back to utf-8-replace. Never raises."""
+    enc = sniff_charset(data)
+    try:
+        return data.decode(enc, errors="replace")
+    except Exception:
+        return data.decode("utf-8", errors="replace")
+
+
 def extract_html_text(data: bytes, min_block_chars: int = 30,
                       max_link_density: float = 0.5) -> Tuple[str, dict]:
     """bytes -> (main_text, stats). Never raises on malformed HTML —
-    the tokenizer degrades to treating stray '<' as text."""
+    the tokenizer degrades to treating stray '<' as text. Input bytes
+    are decoded via the sniffed declared charset (sniff_charset) —
+    ascii-compatible pages behave exactly as before; declared
+    latin-1/cp125x/CJK pages now round-trip their non-ascii text."""
     try:
-        html = data.decode("utf-8", errors="replace")
+        html = decode_html(data)
     except Exception:
         html = ""
     html = _COMMENT_RE.sub(" ", html)

@@ -132,3 +132,43 @@ def test_extract_html_text_fuzz_never_raises_and_deterministic():
         assert s1["n_blocks"] >= s1["n_dropped"] >= 0
 
     run()
+
+
+def test_charset_sniffing_decodes_declared_encodings():
+    from edspdf_spark.kernels.html import (decode_html, extract_html_text,
+                                           sniff_charset)
+
+    body = "café résumé naïve " + "filler words here " * 5
+    page = ("<html><head><meta charset=\"{cs}\"></head><body><p>"
+            + body + "</p></body></html>")
+
+    latin = page.format(cs="iso-8859-1").encode("latin-1")
+    assert sniff_charset(latin) == "latin-1"
+    text, _ = extract_html_text(latin)
+    assert "café résumé naïve" in text
+
+    cp1252 = page.format(cs="windows-1252").encode("cp1252")
+    assert "café" in extract_html_text(cp1252)[0]
+
+    # http-equiv form
+    he = ("<html><head><meta http-equiv=\"Content-Type\" "
+          "content=\"text/html; charset=ISO-8859-1\"></head><body><p>"
+          + body + "</p></body></html>").encode("latin-1")
+    assert "café" in extract_html_text(he)[0]
+
+    # BOM beats declaration; utf-8 stays default
+    bom = b"\xef\xbb\xbf" + page.format(cs="iso-8859-1").encode("utf-8")
+    assert sniff_charset(bom) == "utf-8-sig"
+    assert "café" in extract_html_text(bom)[0]
+    assert sniff_charset(b"<html><p>plain</p>") == "utf-8"
+
+    # unknown charset falls back to utf-8; junk never raises
+    unk = page.format(cs="x-weird-enc").encode("utf-8")
+    assert "café" in extract_html_text(unk)[0]
+    assert decode_html(b"\xff\xfe\x00") is not None
+
+    # cyrillic page declared cp1251
+    ru = ("<html><head><meta charset=\"windows-1251\"></head><body><p>"
+          "Привет мир это документ с достаточно длинным текстом"
+          "</p></body></html>").encode("cp1251")
+    assert "Привет мир" in extract_html_text(ru)[0]
