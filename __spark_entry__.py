@@ -2689,6 +2689,36 @@ FROM documents
 """
 
 
+def q_wet_export(spark, sf_dir):
+    """WET export: every document rendered as a WARC/1.0 `conversion`
+    record (the Common-Crawl extracted-text artifact; native codegen
+    concat, byte-exact Content-Length), parsed back through the WARC
+    kernel — read WARC -> extract -> write WET is THE CC pipeline
+    shape, and the oracle checks the parse inverts the render."""
+    from edspdf_spark.sources.warc import (parse_warc_column,
+                                           render_wet_record)
+
+    docs = _docs(spark, sf_dir)
+    blobs = docs.select(render_wet_record(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")),
+        F.lit(WARC_TS), F.col("text")).alias("blob"))
+    rec = parse_warc_column(blobs, "blob")
+    return rec.select("url", "warc_ts", "warc_type",
+                      F.col("content").cast("string").alias("text"),
+                      "n_bytes")
+
+
+_WET_ORACLE = f"""
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       '{WARC_TS}' AS warc_ts,
+       'conversion' AS warc_type,
+       text,
+       octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
@@ -4385,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "badwords_filter": q_badwords_filter,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_export": q_wet_export,
         "token_budget": q_token_budget,
         "asof_join": q_asof_join,
         "hll_distinct": q_hll_distinct,
@@ -4879,6 +4910,7 @@ _ORACLES["dsir_select"] = _DSIR_ORACLE
 _ORACLES["knn_classify"] = _knn_oracle()
 _ORACLES["badwords_filter"] = _badwords_oracle()
 _ORACLES["warc_roundtrip"] = _WARC_ORACLE
+_ORACLES["wet_export"] = _WET_ORACLE
 _ORACLES["token_budget"] = _token_budget_oracle()
 _ORACLES["asof_join"] = _ASOF_ORACLE
 _ORACLES["hll_distinct"] = _HLL_ORACLE

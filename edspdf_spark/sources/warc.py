@@ -62,6 +62,27 @@ def render_warc_record(url_col: Column, ts_col: Column,
                     F.lit("\r\n\r\n").cast("binary"))
 
 
+def render_wet_record(url_col: Column, ts_col: Column,
+                      text_col: Column) -> Column:
+    """One WET record (WARC/1.0 `conversion` record, the Common-Crawl
+    extracted-text artifact) as a BINARY column: the pipeline shape is
+    read WARC -> extract main text -> write WET. Content-Length is in
+    OCTETS of the utf-8 payload (F.length on binary counts bytes).
+    All native concat — whole-stage codegen, no Python; oracled
+    engine-portably (DuckDB octet_length agrees on the byte count)."""
+    payload = F.encode(text_col, "UTF-8")
+    head = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: "), url_col, F.lit("\r\n"),
+        F.lit("WARC-Date: "), ts_col, F.lit("\r\n"),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"), F.lit("\r\n\r\n"))
+    return F.concat(head.cast("binary"), payload,
+                    F.lit("\r\n\r\n").cast("binary"))
+
+
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a .warc.gz payload: Common Crawl gzips each record
     as its own member and concatenates, so decompression must loop
