@@ -29,8 +29,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions import (CODE_MOD, MINHASH_AB, code15, minhash_exprs, tokens,
-                         word_shingles)
+from ..functions import (CODE_MOD, MINHASH_AB, code15, minhash_exprs,
+                         tokens)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -46,11 +46,59 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
                   max_doc_freq: Optional[int] = None) -> DataFrame:
     """(id, shingle_code) rows, one per DISTINCT shingle per doc.
     max_doc_freq drops shingles appearing in more than that many docs
-    (stop-shingle + skew guard applied before any join)."""
+    (stop-shingle + skew guard applied before any join).
+
+    The explode+hash runs as ONE Arrow kernel (spread over the full
+    core count first — document parquets are small in bytes, so the
+    scan alone gets a handful of tasks and byte heuristics would
+    serialize the CPU-heavy shingling). The earlier codegen
+    formulation (word_shingles HOF chain + explode + md5) was exact
+    but paid interpreted per-element lambda evaluation for every
+    shingle of every document — ~6M interpreted concat_ws/transform
+    evals at sf1.0 ON FOUR TASKS. Values are identical: split on
+    single space dropping empties, k-token shingles joined with one
+    space, first 15 md5 hex chars as BIGINT (md5 of UTF-8 bytes in
+    both engines)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_type}, code bigint"
+
+    def fn(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_i: list = []
+            out_c: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = [w for w in t.split(" ") if w]
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                seen = set()
+                for j in range(n):
+                    s = " ".join(toks[j:j + k])
+                    if s not in seen:
+                        seen.add(s)
+                        out_i.append(i)
+                        out_c.append(int(
+                            md5(s.encode("utf-8")).hexdigest()[:15], 16))
+            if out_i:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_i, type=batch.column("id").type),
+                     pa.array(out_c, pa.int64())],
+                    names=["id", "code"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(word_shingles(F.col(text_col), k))
-                    .alias("shingle"))
-          .select("id", code15(F.col("shingle")).alias("code")))
+                    F.col(text_col).alias("text"))
+          .repartition(width)
+          .mapInArrow(fn, schema=out_schema))
     if max_doc_freq is not None:
         sh = _cap_doc_freq(sh, max_doc_freq)
     return sh
@@ -190,23 +238,66 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(id, simhash) fingerprints: per distinct token, each of the
     low `bits` bits of the token hash votes +1/-1; fingerprint sets
-    the bits with positive tallies."""
-    tok = (df.select(F.col(id_col).alias("id"),
-                     F.explode(F.array_distinct(tokens(F.col(text_col))))
-                     .alias("tok"))
-           .select("id", code15(F.col("tok")).alias("tcode")))
-    # one conditional-sum per bit inside a single groupBy(id): no
-    # tokens-x-bits row blowup, one shuffle with map-side partials.
-    tallies = [F.sum(F.expr(f"CASE WHEN (tcode >> {b}) & 1 = 1 "
-                            "THEN 1 ELSE -1 END")).alias(f"s{b}")
-               for b in range(bits)]
-    tally = tok.groupBy("id").agg(*tallies)
-    fp = None
-    for b in range(bits):
-        term = F.expr(f"CASE WHEN s{b} > 0 THEN cast({1 << b} as bigint) "
-                      "ELSE cast(0 as bigint) END")
-        fp = term if fp is None else fp + term
-    return tally.select("id", fp.alias("simhash"))
+    the bits with positive tallies. Documents with no tokens (or NULL
+    text) emit no row — the explode semantics of the original.
+
+    Doc-local Arrow kernel, ZERO shuffles beyond the compute-spread
+    repartition: the earlier explode + groupBy(id) formulation
+    shuffled one row per distinct token (6M rows at sf1.0) and paid
+    interpreted HOF evaluation for the tokenize/distinct chain, with
+    the map side stuck on the scan's handful of tasks. Here token
+    hashing is the only Python loop (one md5 per distinct token);
+    the bit tallies are one vectorized numpy pass per batch, and the
+    fingerprint never leaves the task that read the document."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_type}, simhash bigint"
+
+    def fn(batches):
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_i: list = []
+            codes: list = []
+            counts: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = {w for w in t.split(" ") if w}
+                if not toks:
+                    continue
+                out_i.append(i)
+                counts.append(len(toks))
+                codes.extend(
+                    int(md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in toks)
+            if not out_i:
+                continue
+            carr = np.asarray(codes, dtype=np.int64)
+            ones = (carr[:, None] >> shifts) & 1       # (tokens, bits)
+            bounds = np.zeros(len(out_i), dtype=np.int64)
+            np.cumsum(counts[:-1], out=bounds[1:])
+            ones_per_doc = np.add.reduceat(ones, bounds, axis=0)
+            n_tok = np.asarray(counts, dtype=np.int64)[:, None]
+            tally = 2 * ones_per_doc - n_tok           # (+1/-1 votes)
+            fp = ((tally > 0).astype(np.int64)
+                  << shifts[None, :]).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_i, type=batch.column("id").type),
+                 pa.array(fp, pa.int64())],
+                names=["id", "simhash"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+            .repartition(width)
+            .mapInArrow(fn, schema=out_schema))
 
 
 def simhash_near_pairs(fingerprints: DataFrame, bits: int = 16,

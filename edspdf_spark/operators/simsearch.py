@@ -32,21 +32,146 @@ def _with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding"
                      ) -> DataFrame:
-    """(query_id, neighbor_id, cos) top-k by quantized cosine;
-    excludes self-matches; ties broken by neighbor id."""
+    """(query_id, neighbor_id, cos, rank) top-k by quantized cosine;
+    excludes self-matches; ties broken by neighbor id.
+
+    Scoring runs as ONE Arrow-batched numpy matmul per corpus batch
+    (scores = X @ Q.T) with a per-task top-k cut, so only
+    n_tasks x n_queries x k candidate rows reach the final global
+    window — the earlier crossJoin + zip_with/aggregate formulation
+    evaluated the dot product through interpreted HOF lambdas, i.e.
+    N x Q x D lambda invocations (~0.5 BILLION at sf1.0), which made
+    this O(N*Q) stage ~40x slower than the hardware. The math is
+    bit-identical: quantized components are small ints, so the
+    float64 matmul is EXACT integer arithmetic (products and sums far
+    inside 2^53 — asserted per batch), and cos = dot /
+    (sqrt(norm2) * sqrt(q_norm2)) is the same IEEE expression the
+    JVM evaluates. The query set is bounded (the broadcast-scale
+    assumption this operator always made) and is collected once to
+    close over in the kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = corpus.sparkSession
+    q_rows = _with_quantized(queries, id_col, vec_col).collect()
+    out_schema = ("query_id long, neighbor_id long, cos double, "
+                  "rank int")
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    dims = {len(r["qv"]) for r in q_rows if r["qv"] is not None}
+    if len(dims) > 1:
+        raise ValueError("brute_force_topk: query vectors have mixed "
+                         "dimensions")
+    dim = dims.pop() if dims else 0
+    # null-vector queries score cos NULL against every corpus row
+    # (zip_with/aggregate's null propagation): their top-k is the k
+    # smallest corpus ids — served from the per-task min-id track
+    null_q_ids = [int(r["id"]) for r in q_rows if r["qv"] is None]
+    val_q = [r for r in q_rows if r["qv"] is not None]
+    q_ids = np.asarray([r["id"] for r in val_q], dtype=np.int64)
+    qm = (np.asarray([r["qv"] for r in val_q], dtype=np.float64)
+          if val_q else np.zeros((0, dim)))
+    q_sqrt = np.sqrt(np.asarray([r["norm2"] for r in val_q],
+                                dtype=np.float64))
+    q_max = float(np.abs(qm).max()) if qm.size else 0.0
+    nq = len(q_ids)
+
+    cand_schema = "query_id long, neighbor_id long, cos double"
+
+    def fn(batches):
+        # per-task accumulation: candidate (cos, id) arrays per query
+        ids_parts, cos_parts = [], []
+        invalid_ids = []   # null/wrong-dim corpus vectors: cos NULL
+        min_ids = []       # smallest ids in task (null-cos ranking)
+        for batch in batches:
+            col = batch.column("qv")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if len(col) == 0:
+                continue
+            c_ids = np.asarray(batch.column("id"), dtype=np.int64)
+            min_ids = sorted(min_ids + c_ids.tolist())[:2 * k + 2]
+            offs = np.asarray(col.offsets)
+            lens = np.diff(offs)
+            valid = lens == dim
+            if col.null_count:
+                valid &= np.asarray(col.is_valid())
+            idx = np.flatnonzero(valid)
+            bad = np.flatnonzero(~valid)
+            if bad.size:
+                invalid_ids.extend(c_ids[bad].tolist())
+            if not idx.size or not nq:
+                continue
+            vals = np.asarray(col.values, dtype=np.int64)
+            rows = vals[offs[idx, None] + np.arange(dim)]
+            x_max = float(np.abs(rows).max()) if rows.size else 0.0
+            # exactness guard: every product and partial sum must be
+            # an exact float64 integer (quantized embeddings are small
+            # ints, so this never fires on real data)
+            assert dim * x_max * max(q_max, 1.0) < 2.0 ** 53, \
+                "brute_force_topk: quantized values too large for " \
+                "exact float64 dot products"
+            n2 = np.asarray(batch.column("norm2"),
+                            dtype=np.float64)[idx]
+            dots = rows.astype(np.float64) @ qm.T      # exact ints
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (np.sqrt(n2)[:, None] * q_sqrt[None, :])
+            ids_parts.append(c_ids[idx])
+            cos_parts.append(cos)
+        out_q, out_i, out_c = [], [], []
+        if ids_parts:
+            all_ids = np.concatenate(ids_parts)
+            all_cos = np.vstack(cos_parts)             # (n, nq)
+            # sort key: cos desc with NaN FIRST (Spark's "NaN is
+            # greatest" ordering), then id asc
+            key = -np.where(np.isnan(all_cos), np.inf, all_cos)
+            for j in range(nq):
+                mask = all_ids != q_ids[j]             # self-exclusion
+                ids_j = all_ids[mask]
+                if not ids_j.size:
+                    continue
+                sel = np.lexsort((ids_j, key[mask, j]))[:k]
+                cos_j = all_cos[mask, j]
+                out_q.extend([int(q_ids[j])] * len(sel))
+                out_i.extend(int(v) for v in ids_j[sel])
+                out_c.extend(float(v) for v in cos_j[sel])
+        # null-cos candidates rank by (NULL last, id asc): invalid
+        # corpus rows against every query; all rows against null-vec
+        # queries — 2k+2 ids each so self-exclusion (even against
+        # duplicated ids) cannot starve them
+        inv = sorted(invalid_ids)[:2 * k + 2]
+        for j in range(nq):
+            for v in inv:
+                if v != int(q_ids[j]):
+                    out_q.append(int(q_ids[j]))
+                    out_i.append(v)
+                    out_c.append(None)
+        for qid in null_q_ids:
+            for v in min_ids:
+                if v != qid:
+                    out_q.append(qid)
+                    out_i.append(v)
+                    out_c.append(None)
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, pa.int64()),
+                 pa.array(out_i, pa.int64()),
+                 pa.array(out_c, pa.float64())],
+                names=["query_id", "neighbor_id", "cos"])
+
     c = _with_quantized(corpus, id_col, vec_col)
-    q = (_with_quantized(queries, id_col, vec_col)
-         .select(F.col("id").alias("query_id"), F.col("qv").alias("q_qv"),
-                 F.col("norm2").alias("q_norm2")))
-    scored = (c.crossJoin(F.broadcast(q))
-              .where(F.col("id") != F.col("query_id"))
-              .withColumn("dot", int_dot(F.col("qv"), F.col("q_qv")))
-              .withColumn("cos", F.col("dot") /
-                          (F.sqrt(F.col("norm2")) * F.sqrt(F.col("q_norm2")))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
+    # explicit width: the corpus parquet is small in BYTES (same trap
+    # as _with_cell — byte heuristics can't see the N x Q arithmetic)
+    width = spark.sparkContext.defaultParallelism
+    cand = c.repartition(width).mapInArrow(fn, schema=cand_schema)
+    # global merge: <= width x nq x (k+1) candidate rows — the window
+    # input is tiny, and its ordering (cos desc NaN-first NULL-last,
+    # id asc) is exactly the pre-rewrite global window's
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (cand.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
-            .select("query_id", F.col("id").alias("neighbor_id"), "cos",
+            .select("query_id", "neighbor_id", "cos",
                     F.col("rk").alias("rank")))
 
 
@@ -231,23 +356,74 @@ def cosine_bucket_pairs(df: DataFrame, threshold: float = 0.9,
     threshold. The bucket is the sign bitmask of the first band_dims
     quantized components — vectors in different buckets are never
     compared (recall/latency dial = band_dims)."""
+    import numpy as np
+    import pandas as pd
+
     q = _with_quantized(df, id_col, vec_col)
     bucket = F.aggregate(
         F.slice(F.col("qv"), 1, band_dims),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
     )
-    qb = q.withColumn("bucket", bucket)
-    a = qb.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
-                  F.col("norm2").alias("n2_a"), "bucket")
-    b = qb.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
-                  F.col("norm2").alias("n2_b"), "bucket")
-    return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-            .withColumn("dot", int_dot(F.col("qv_a"), F.col("qv_b")))
-            .withColumn("cos", F.col("dot") /
-                        (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))))
-            .where(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos"))
+    # NULL vectors have a NULL bucket and never joined; drop them
+    # before grouping (a groupBy would put them in one group)
+    qb = (q.withColumn("bucket", bucket)
+          .where(F.col("bucket").isNotNull()))
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+
+    # Same rewrite rationale as semantic_dedup: the bucket self-join
+    # scored pairs through interpreted HOF dot products; here every
+    # bucket group is ONE exact float64 matmul. Pairs across vectors
+    # of DIFFERENT lengths had a NULL dot (zip_with padding) and were
+    # filtered by `cos >= threshold`; the kernel reproduces that by
+    # pairing only within equal-dimension groups. NaN cosines
+    # (zero-norm vectors) satisfy `>= threshold` under Spark/DuckDB
+    # NaN-is-largest comparison semantics and are emitted as NaN.
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        lens = pdf["qv"].map(len).to_numpy()
+        for dim in np.unique(lens):
+            g = pdf[lens == dim]
+            n = len(g)
+            if n < 2:
+                continue
+            ids_raw = g["id"].to_numpy()
+            order = np.argsort(ids_raw, kind="stable")
+            ids = ids_raw[order]
+            x = np.asarray([list(v) for v in g["qv"].to_numpy()[order]],
+                           dtype=np.float64)
+            x_max = float(np.abs(x).max()) if x.size else 0.0
+            assert dim * x_max * x_max < 2.0 ** 53, \
+                "cosine_bucket_pairs: quantized values too large " \
+                "for exact float64 dot products"
+            sq = np.sqrt(np.asarray(g["norm2"].to_numpy()[order],
+                                    dtype=np.float64))
+            n_less = np.searchsorted(ids, ids, side="left")
+            col_idx = np.arange(n)
+            blk = max(1, min(n, (1 << 23) // max(n, 1)))
+            for a0 in range(0, n, blk):
+                b0 = min(n, a0 + blk)
+                gm = x[a0:b0] @ x.T                   # exact ints
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = gm / (sq[a0:b0, None] * sq[None, :])
+                cmp = np.where(np.isnan(cos), np.inf, cos)
+                # row r (the LARGER id side) pairs with every column
+                # c whose id is strictly smaller: id_a < id_b
+                hit_r, hit_c = np.nonzero(
+                    (cmp >= threshold)
+                    & (col_idx[None, :] < n_less[a0:b0, None]))
+                out_a.extend(ids[hit_c].tolist())
+                out_b.extend(ids[hit_r + a0].tolist())
+                out_c.extend(cos[hit_r, hit_c].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cos": out_c},
+                            columns=["id_a", "id_b", "cos"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (qb.repartition(width, "bucket")
+            .groupBy("bucket").applyInPandas(per_bucket,
+                                             schema=out_schema))
 
 
 def int8_quantize(df: DataFrame, id_col: str = "vec_id",
@@ -262,20 +438,88 @@ def int8_quantize(df: DataFrame, id_col: str = "vec_id",
     for storage audits). 4x smaller than float32 at <0.5% cosine
     error for typical embedding distributions.
 
-    Pure codegen column math, zero shuffles; all-zero vectors get
-    scale 0 and all-zero codes (guarded division)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    qvec = F.when(scale == 0.0,
-                  F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
-        .otherwise(F.transform(
-            v, lambda x: F.round(x * 127.0 / scale).cast("bigint")))
-    l1 = F.aggregate(qvec, F.lit(0).cast("bigint"),
-                     lambda acc, q: acc + F.abs(q))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.col(vec_col)).cast("int").alias("dim"),
-        scale.alias("scale"), qvec.alias("qvec"), l1.alias("l1"))
+    One Arrow-batched numpy kernel, zero shuffles. The earlier pure-
+    codegen formulation was correct but pathological: HOF lambdas run
+    interpreted with NO cross-lambda CSE, so after projection
+    collapse the `scale` subexpression (itself an O(D) HOF chain) was
+    re-evaluated inside EVERY element of the qvec lambda and again
+    per consumer of qvec — O(D^2)-per-row interpreted evaluation,
+    ~300M lambda calls at sf1.0 for 20k rows. The numpy math is
+    bit-identical: float32->float64 widening is exact, x*127.0/scale
+    is the same IEEE expression, and rounding replicates Spark/
+    DuckDB's HALF_UP (away from zero; exact because v - trunc(v) is
+    exact float64 for |v| <= 127). All-zero vectors get scale 0 and
+    all-zero codes; NULL vectors keep their row with NULL outputs
+    (F.size's and transform's null propagation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = (f"id {dict(df.dtypes)[id_col]}, dim int, "
+                  "scale double, qvec array<bigint>, l1 bigint")
+
+    def fn(batches):
+        for batch in batches:
+            col = batch.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            ids = batch.column(id_col)
+            if n == 0:
+                continue
+            offs = np.asarray(col.offsets).astype(np.int64)
+            row_valid = (np.ones(n, dtype=bool) if col.null_count == 0
+                         else np.asarray(col.is_valid()))
+            flat = col.values
+            # per-element nulls inside a vector are not produced by
+            # any upstream here; fail loudly rather than diverge
+            if flat.null_count:
+                raise NotImplementedError(
+                    "int8_quantize: vectors with NULL elements")
+            v = np.asarray(flat, dtype=np.float64)     # exact widen
+            absv = np.abs(v)
+            dim_out, scale_out, qvec_out, l1_out = [], [], [], []
+            for i in range(n):
+                if not row_valid[i]:
+                    # NULL vector: every output NULL (HOF null
+                    # propagation in the codegen original)
+                    dim_out.append(None)
+                    scale_out.append(None)
+                    qvec_out.append(None)
+                    l1_out.append(None)
+                    continue
+                a, b = offs[i], offs[i + 1]
+                dim_out.append(int(b - a))
+                if a == b:
+                    # empty vector: array_max([]) is NULL, qvec [],
+                    # aggregate([], 0L) is 0
+                    scale_out.append(None)
+                    qvec_out.append([])
+                    l1_out.append(0)
+                    continue
+                s = float(absv[a:b].max())
+                scale_out.append(s)
+                if s == 0.0:
+                    q = np.zeros(b - a, dtype=np.int64)
+                else:
+                    val = v[a:b] * 127.0 / s
+                    t = np.trunc(val)
+                    # HALF_UP (away from zero): val - trunc(val) is
+                    # EXACT float64 for |val| <= 127, so the .5 test
+                    # is bit-faithful to BigDecimal HALF_UP
+                    q = (t + np.where(np.abs(val - t) >= 0.5,
+                                      np.sign(val), 0.0)
+                         ).astype(np.int64)
+                qvec_out.append(q.tolist())
+                l1_out.append(int(np.abs(q).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(dim_out, pa.int32()),
+                 pa.array(scale_out, pa.float64()),
+                 pa.array(qvec_out, pa.list_(pa.int64())),
+                 pa.array(l1_out, pa.int64())],
+                names=["id", "dim", "scale", "qvec", "l1"])
+
+    return df.select(id_col, vec_col).mapInArrow(fn, schema=out_schema)
 
 
 def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
@@ -321,45 +565,71 @@ def semantic_dedup(df: DataFrame, centroids, threshold: float = 0.95,
     """
     if on_oversize not in ("raise", "ignore"):
         raise ValueError("on_oversize must be 'raise' or 'ignore'")
+    import numpy as np
+    import pandas as pd
+
     q = _with_cell(_with_quantized(df, id_col, vec_col), centroids)
-    a = q.where(F.col("cell") >= 0).select(
-        F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
-        F.col("norm2").alias("n2_a"), "cell")
-    if max_cell_rows is not None and on_oversize == "raise":
-        # guard ONE side of the pair join only — evaluating `a` is
-        # enough to fire, and it keeps the assignment kernel from
-        # being instantiated an extra time per consumer
-        sizes = (q.where(F.col("cell") >= 0).groupBy("cell")
-                 .agg(F.count(F.lit(1)).alias("cell_rows")))
-        msg = F.concat(
-            F.lit("semantic_dedup: cell "),
-            F.col("cell").cast("string"), F.lit(" holds "),
-            F.col("cell_rows").cast("string"),
-            F.lit(f" rows > max_cell_rows={max_cell_rows}; the "
-                  "within-cell pair join would go quadratic. Re-fit "
-                  "the quantizer with more cells (~sqrt(N); see "
-                  "semantic_dedup_autocells) or raise max_cell_rows "
-                  "explicitly."))
-        guarded_cell = (F.when(F.col("cell_rows") <=
-                               F.lit(max_cell_rows), F.col("cell"))
-                        .otherwise(F.raise_error(msg)).cast("int"))
-        a = (a.join(F.broadcast(sizes), "cell")
-             .withColumn("cell", guarded_cell)
-             .drop("cell_rows"))
-    b = q.where(F.col("cell") >= 0).select(
-        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
-        F.col("norm2").alias("n2_b"), "cell")
-    dup = (a.join(b, "cell")
-           .where(F.col("id_b") < F.col("id_a"))
-           .withColumn("dot", int_dot(F.col("qv_a"), F.col("qv_b")))
-           .withColumn("cos", F.col("dot") /
-                       (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))))
-           .where(F.col("cos") >= threshold)
-           .select(F.col("id_a").alias("id")).distinct()
-           .withColumn("dup", F.lit(True)))
-    return (q.join(dup, "id", "left")
-            .select("id", "cell",
-                    F.col("dup").isNull().alias("keep")))
+    guard = max_cell_rows if on_oversize == "raise" else None
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_type}, cell int, keep boolean"
+
+    # Within-cell scoring runs per cell group as ONE numpy matmul
+    # (blocked) instead of the earlier a-join-b pair join whose
+    # int_dot evaluated through interpreted HOF lambdas — pairs x D
+    # lambda invocations (~200M at sf1.0) — and which instantiated
+    # the assignment kernel three times (a side, b side, final join).
+    # Math is bit-identical: quantized ints make the float64 matmul
+    # exact (asserted), cos is the same IEEE expression, and NaN
+    # cosines (zero-norm vectors) compare GREATER than the threshold
+    # exactly as Spark/DuckDB's NaN-is-largest semantics do.
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        n = len(pdf)
+        if cell < 0:
+            return pd.DataFrame({"id": pdf["id"], "cell": cell,
+                                 "keep": True})
+        if guard is not None and n > guard:
+            raise RuntimeError(
+                f"semantic_dedup: cell {cell} holds {n} rows > "
+                f"max_cell_rows={guard}; the within-cell pair scoring "
+                "would go quadratic. Re-fit the quantizer with more "
+                "cells (~sqrt(N); see semantic_dedup_autocells) or "
+                "raise max_cell_rows explicitly.")
+        ids_raw = pdf["id"].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        x = np.asarray([list(v) for v in pdf["qv"].to_numpy()[order]],
+                       dtype=np.float64)
+        x_max = float(np.abs(x).max()) if x.size else 0.0
+        assert x.shape[1] * x_max * x_max < 2.0 ** 53, \
+            "semantic_dedup: quantized values too large for exact " \
+            "float64 dot products"
+        sq = np.sqrt(np.asarray(pdf["norm2"].to_numpy()[order],
+                                dtype=np.float64))
+        # j eligible to mark i iff id_j < id_i STRICTLY (equal ids
+        # never mark each other, as in the id_b < id_a join)
+        n_less = np.searchsorted(ids, ids, side="left")
+        dup = np.zeros(n, dtype=bool)
+        blk = max(1, min(n, (1 << 23) // max(n, 1)))  # <=64MB blocks
+        col_idx = np.arange(n)
+        for a0 in range(0, n, blk):
+            b0 = min(n, a0 + blk)
+            g = x[a0:b0] @ x.T                       # exact ints
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / (sq[a0:b0, None] * sq[None, :])
+            cos = np.where(np.isnan(cos), np.inf, cos)
+            hit = (cos >= threshold) & \
+                (col_idx[None, :] < n_less[a0:b0, None])
+            dup[a0:b0] = hit.any(axis=1)
+        return pd.DataFrame({"id": ids, "cell": cell, "keep": ~dup})
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    # explicit repartition width on the cell key: the groupBy's
+    # distribution requirement is satisfied by it, so AQE cannot
+    # byte-coalesce the CPU-heavy Python stage down to one task
+    return (q.repartition(width, "cell")
+            .groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+            .select("id", "cell", "keep"))
 
 
 def semantic_dedup_autocells(df: DataFrame, threshold: float = 0.95,

@@ -97,15 +97,21 @@ def test_lang_id_is_scan_local_arrow_kernel(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_simsearch_broadcasts_queries(spark):
+def test_simsearch_scoring_is_arrow_matmul(spark):
+    """brute_force_topk: the N x Q scoring is ONE Arrow matmul stage
+    with a per-task top-k cut (closed-over query matrix — no crossJoin
+    materializing N x Q rows); only tasks x queries x k candidates
+    reach the final merge window."""
     from pyspark.sql import functions as F
 
     from edspdf_spark.operators.simsearch import brute_force_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(brute_force_topk(emb, emb.where(F.col("vec_id") % 50 == 0)))
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInArrow" in plan, plan
     assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_ivf_scoring_is_pythonless(spark):
@@ -165,12 +171,16 @@ def test_lsh_candidates_shuffles_do_not_scale_with_bands(spark):
 
     four_bands, two_bands = n_exchanges(2), n_exchanges(4)
     assert four_bands == two_bands
-    assert four_bands <= 5, four_bands
+    # +1 vs the pre-kernel shape: shingle_table's compute-spread
+    # round-robin repartition ahead of the Arrow shingling stage
+    assert four_bands <= 7, four_bands
 
 
 def test_simhash_single_shuffle_no_bit_explode(spark):
-    """simhash: one groupBy(id) with per-bit conditional sums — exactly
-    one Exchange, no tokens-x-bits row blowup (no second explode)."""
+    """simhash is a doc-local Arrow kernel: the fingerprint never
+    leaves the task that read the document — the only Exchange is the
+    compute-spread repartition, no token explode (Generate), no
+    groupBy of token rows."""
     from edspdf_spark.operators.dedup import simhash
 
     df = spark.createDataFrame(
@@ -179,9 +189,8 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     plan = _plan(simhash(df, bits=16))
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan
-    # exactly one generator (the token explode); a bit-explode would
-    # add a second Generate node
-    assert plan.count("Generate") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Generate" not in plan, plan
 
 
 def test_winnow_fingerprints_plan(spark):
@@ -516,10 +525,15 @@ def test_semantic_dedup_assignment_is_arrow(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(semantic_dedup(emb, [[0] * 64, [1000] * 64]))
     assert "EvalPython" not in plan
-    # 4th MapInArrow instance = the occupancy-guard's tiny per-cell
-    # count (broadcast back); the guard itself must be in the plan
-    assert 1 <= plan.count("MapInArrow") <= 4, plan
-    assert "raise_error" in plan, plan
+    # ONE assignment kernel instance (the old join shape instantiated
+    # it three times) + the grouped per-cell scoring stage; the
+    # occupancy guard now raises inside that stage (behavioral test:
+    # test_webtext_ops.test_semantic_dedup_occupancy_guard_fires)
+    assert plan.count("MapInArrow") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # two exchanges: the assignment kernel's compute-spread and the
+    # one cell-key shuffle feeding the per-cell scoring
+    assert plan.count("Exchange") == 2, plan
 
 
 def test_knn_classify_brute_plan(spark):
@@ -530,7 +544,7 @@ def test_knn_classify_brute_plan(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(knn_classify(emb, emb.where(F.col("vec_id") % 50 == 0)))
     assert "EvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan, plan   # scoring side
+    assert "MapInArrow" in plan, plan                # scoring side
     assert "BroadcastHashJoin" in plan, plan         # label vote side
 
 
@@ -598,8 +612,9 @@ def test_shingle_cap_bounded_distinct_exchanges(spark):
         elif name == "ReusedExchange":
             reused += 1
         assert "EvalPython" not in name, name
-    # code-repartition + freq partial agg + pair groupBy + two size
-    # joins (id_a / id_b) + sizes groupBy -- bounded regardless of
-    # corpus width; a regression to per-branch explodes adds more.
-    assert len(shuffles) <= 6, plan.toString()
+    # compute-spread repartition + code-repartition + freq partial agg
+    # + pair groupBy + two size joins (id_a / id_b) + sizes groupBy --
+    # bounded regardless of corpus width; a regression to per-branch
+    # explodes adds more.
+    assert len(shuffles) <= 7, plan.toString()
     assert reused >= 1, plan.toString()
