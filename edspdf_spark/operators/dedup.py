@@ -136,9 +136,187 @@ def _cap_doc_freq(shingles: DataFrame,
     return sh.join(keep, "code")
 
 
+# gate for the broadcast-postings pair counter: when the (materialized)
+# shingle table is at most this many parquet bytes, pair counting runs
+# as per-doc posting-list merges against a broadcast CSR — every pair
+# is generated, counted AND threshold-filtered inside one task, so only
+# the final (tiny) result rows ever cross an exchange. Beyond the gate
+# the capped self-join runs (the 100-TB path: one reused code exchange,
+# stop-shingle guard bounding the quadratic term). The sf1.0 corpus
+# showed why the fast path matters: 3.1M shingle rows fan out to 180M
+# join rows with 161M DISTINCT pairs, so the join's partial aggregation
+# cannot reduce anything and the exchange moves ~4 GB to keep 1.5M
+# rows. Same gated-driver-path pattern as components.py's union-find
+# gate (bounded collect, explicit byte ceiling, distributed fallback).
+PAIR_DRIVER_MAX_BYTES = 512 << 20
+
+
+def _pairs_via_postings(shingles: DataFrame, max_doc_freq: Optional[int],
+                        driver_max_bytes: int, mode: str,
+                        threshold: float, min_intersect: int):
+    """Gated all-pairs intersection counter. Returns the result
+    DataFrame, or None when the input exceeds the byte gate (or has an
+    id type the kernel does not handle) — caller falls back to the
+    join formulation. Semantics replicated exactly: rows are NOT
+    deduplicated (doc frequency and sizes count raw rows, as the join
+    did), ids compare strictly (equal ids never pair), sizes are
+    taken after the doc-frequency drop, and all ratios are the same
+    int64 / float64 IEEE divisions."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    id_ddl = dict(shingles.dtypes).get("id")
+    if id_ddl not in ("bigint", "string"):
+        return None
+    spark = shingles.sparkSession
+    tmp = tempfile.mkdtemp(prefix="pairs_shingles_")
+    try:
+        shingles.select("id", "code").write.mode("overwrite").parquet(tmp)
+        files = glob.glob(os.path.join(tmp, "*.parquet"))
+        if sum(os.path.getsize(f) for f in files) > driver_max_bytes:
+            return None
+        table = pq_.read_table(tmp, columns=["id", "code"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ids_raw = table.column("id").to_numpy(zero_copy_only=False)
+    codes_raw = table.column("code").to_numpy(zero_copy_only=False)
+    if table.column("id").null_count or table.column("code").null_count:
+        import pyarrow.compute as pc
+
+        # NULL ids/codes never matched the equi-join; drop them
+        valid = ~(pc.is_null(table.column("id")).to_numpy(
+            zero_copy_only=False)
+            | pc.is_null(table.column("code")).to_numpy(
+                zero_copy_only=False))
+        ids_raw, codes_raw = ids_raw[valid], codes_raw[valid]
+    uniq_ids, doc_inv = np.unique(ids_raw, return_inverse=True)
+    n_docs = len(uniq_ids)
+    _, code_inv, code_counts = np.unique(
+        codes_raw.astype(np.int64), return_inverse=True,
+        return_counts=True)
+    if max_doc_freq is not None:
+        keep = code_counts[code_inv] <= max_doc_freq
+        doc_inv, code_inv = doc_inv[keep], code_inv[keep]
+    n_codes = int(code_inv.max()) + 1 if code_inv.size else 0
+    sizes = np.bincount(doc_inv, minlength=n_docs).astype(np.int64)
+    # CSR code -> doc indices (postings), CSR doc -> code indices
+    order = np.argsort(code_inv, kind="stable")
+    post_docs = doc_inv[order].astype(np.int32)
+    code_lens = np.bincount(code_inv, minlength=n_codes).astype(np.int64)
+    post_offsets = np.zeros(n_codes + 1, dtype=np.int64)
+    np.cumsum(code_lens, out=post_offsets[1:])
+    order2 = np.argsort(doc_inv, kind="stable")
+    doc_codes = code_inv[order2].astype(np.int32)
+    doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sizes, out=doc_offsets[1:])
+
+    bc = spark.sparkContext.broadcast(
+        (uniq_ids, sizes, doc_offsets, doc_codes, post_offsets,
+         code_lens, post_docs))
+
+    if mode == "jaccard":
+        out_schema = (f"id_a {id_ddl}, id_b {id_ddl}, inter bigint, "
+                      "size_a bigint, size_b bigint, jaccard double")
+        names = ["id_a", "id_b", "inter", "size_a", "size_b", "jaccard"]
+    else:
+        out_schema = (f"id_src {id_ddl}, id_dst {id_ddl}, inter bigint, "
+                      "size_src bigint, size_dst bigint, "
+                      "containment double")
+        names = ["id_src", "id_dst", "inter", "size_src", "size_dst",
+                 "containment"]
+    pa_id = pa.int64() if id_ddl == "bigint" else pa.string()
+
+    block = 4096
+
+    def fn(batches):
+        (u_ids, szs, d_off, d_codes, p_off, c_lens, p_docs) = bc.value
+        for batch in batches:
+            for b in batch.column(0).to_pylist():
+                lo, hi = b * block, min(n_docs, (b + 1) * block)
+                cols: list = [[] for _ in names]
+                for d in range(lo, hi):
+                    cs = d_codes[d_off[d]:d_off[d + 1]]
+                    if not cs.size:
+                        continue
+                    lens = c_lens[cs]
+                    total = int(lens.sum())
+                    if not total:
+                        continue
+                    ends = np.cumsum(lens)
+                    idx = (np.arange(total, dtype=np.int64)
+                           + np.repeat(p_off[cs] - (ends - lens), lens))
+                    cand, cnt = np.unique(p_docs[idx],
+                                          return_counts=True)
+                    # uniq_ids is sorted, so index order IS id order:
+                    # keep strictly-smaller partners only (each
+                    # unordered pair is emitted by its larger member)
+                    cut = np.searchsorted(cand, d, side="left")
+                    cand, cnt = cand[:cut], cnt[:cut]
+                    if not cand.size:
+                        continue
+                    m = cnt >= min_intersect
+                    cand, cnt = cand[m], cnt[m]
+                    if not cand.size:
+                        continue
+                    sz_c = szs[cand]
+                    sz_d = szs[d]
+                    if mode == "jaccard":
+                        jac = cnt / (sz_c + sz_d - cnt)
+                        m = jac >= threshold
+                        if not m.any():
+                            continue
+                        cols[0].extend(u_ids[cand[m]].tolist())
+                        cols[1].extend([u_ids[d]] * int(m.sum()))
+                        cols[2].extend(cnt[m].tolist())
+                        cols[3].extend(sz_c[m].tolist())
+                        cols[4].extend([int(sz_d)] * int(m.sum()))
+                        cols[5].extend(jac[m].tolist())
+                    else:
+                        fwd = cnt / sz_c          # src = smaller id
+                        rev = cnt / sz_d          # src = larger id
+                        mf = fwd >= threshold
+                        if mf.any():
+                            cols[0].extend(u_ids[cand[mf]].tolist())
+                            cols[1].extend([u_ids[d]] * int(mf.sum()))
+                            cols[2].extend(cnt[mf].tolist())
+                            cols[3].extend(sz_c[mf].tolist())
+                            cols[4].extend([int(sz_d)] * int(mf.sum()))
+                            cols[5].extend(fwd[mf].tolist())
+                        mr = rev >= threshold
+                        if mr.any():
+                            cols[0].extend([u_ids[d]] * int(mr.sum()))
+                            cols[1].extend(u_ids[cand[mr]].tolist())
+                            cols[2].extend(cnt[mr].tolist())
+                            cols[3].extend([int(sz_d)] * int(mr.sum()))
+                            cols[4].extend(sz_c[mr].tolist())
+                            cols[5].extend(rev[mr].tolist())
+                if cols[0]:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(cols[0], pa_id),
+                         pa.array(cols[1], pa_id),
+                         pa.array(cols[2], pa.int64()),
+                         pa.array(cols[3], pa.int64()),
+                         pa.array(cols[4], pa.int64()),
+                         pa.array(cols[5], pa.float64())],
+                        names=names)
+
+    n_blocks = max(1, -(-n_docs // block))
+    width = min(spark.sparkContext.defaultParallelism, n_blocks)
+    return spark.range(0, n_blocks, 1, width).mapInArrow(
+        fn, schema=out_schema)
+
+
 def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
                   min_intersect: int = 1,
-                  max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ
+                  max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ,
+                  driver_max_bytes: int = PAIR_DRIVER_MAX_BYTES
                   ) -> DataFrame:
     """Exact Jaccard over shingle sets: (id_a, id_b, inter, size_a,
     size_b, jaccard) for pairs with jaccard >= threshold.
@@ -150,7 +328,16 @@ def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     that many documents before the self-join — set sizes are computed
     AFTER the drop, so jaccard stays a true set ratio over the capped
     universe. Pass None ONLY for inputs already bounded by
-    construction (e.g. LSH-candidate verification)."""
+    construction (e.g. LSH-candidate verification).
+
+    Within `driver_max_bytes` (of the materialized shingle parquet)
+    the pair space is counted by the broadcast-postings kernel and
+    filtered in-task (see PAIR_DRIVER_MAX_BYTES); beyond it, the
+    capped self-join below is the scale path."""
+    fast = _pairs_via_postings(shingles, max_doc_freq, driver_max_bytes,
+                               "jaccard", threshold, min_intersect)
+    if fast is not None:
+        return fast
     shingles = _cap_doc_freq(shingles, max_doc_freq)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("id").alias("id_a"), "code")
@@ -566,7 +753,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
 
 def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
                       min_intersect: int = 1,
-                      max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ
+                      max_doc_freq: Optional[int] = HOT_SHINGLE_DOC_FREQ,
+                      driver_max_bytes: int = PAIR_DRIVER_MAX_BYTES
                       ) -> DataFrame:
     """One-way near-duplication: containment(src in dst) =
     |S_src ∩ S_dst| / |S_src| — catches excerpts, quotes, and
@@ -581,7 +769,15 @@ def containment_pairs(shingles: DataFrame, threshold: float = 0.8,
     construction), intersections computed once per unordered pair and
     fanned into both directions after aggregation — the direction
     fan-out happens on pair rows, never on shingle rows.
+
+    Within `driver_max_bytes` the broadcast-postings kernel counts and
+    filters the pair space in-task (see PAIR_DRIVER_MAX_BYTES); beyond
+    it, the capped self-join below is the scale path.
     """
+    fast = _pairs_via_postings(shingles, max_doc_freq, driver_max_bytes,
+                               "containment", threshold, min_intersect)
+    if fast is not None:
+        return fast
     shingles = _cap_doc_freq(shingles, max_doc_freq)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("id").alias("id_a"), "code")

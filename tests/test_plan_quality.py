@@ -599,7 +599,10 @@ def test_shingle_cap_bounded_distinct_exchanges(spark):
     old = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        out = jaccard_pairs(shingle_table(df, k=3), threshold=0.5)
+        # driver_max_bytes=0 pins the JOIN fallback (the 100-TB path);
+        # within the gate the broadcast-postings kernel runs instead
+        out = jaccard_pairs(shingle_table(df, k=3), threshold=0.5,
+                            driver_max_bytes=0)
         plan = out._jdf.queryExecution().executedPlan()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
