@@ -549,30 +549,38 @@ def quality_funnel(df: DataFrame, id_col: str = "doc_id",
     stage's count is a partial-aggregable scalar, so the funnel costs
     one corpus pass per stage and no stage re-reads a prior stage's
     rejects."""
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col)
-                     .alias("text"))
-    q_keep = gopher_quality(base, "id", "text", stopwords=stopwords) \
-        .where(F.col("keep")).select("id")
-    r_keep = gopher_repetition(base, "id", "text") \
-        .where(F.col("keep")).select("id")
-    s2 = q_keep.join(r_keep, "id")
-    surv2 = base.join(s2, "id")
-    spark = df.sparkSession
+    from ..plans.salt import spread_compute
 
-    def row(stage: int, name: str, cnt_df) -> DataFrame:
-        return cnt_df.select(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.col("n").cast("bigint").alias("n_docs"))
-
-    n0 = base.agg(F.count("*").alias("n"))
-    n1 = r_keep.agg(F.count("*").alias("n"))
-    n2 = s2.agg(F.count("*").alias("n"))
-    n3 = surv2.agg(F.count_distinct(F.md5(F.col("text"))).alias("n"))
-    return (row(0, "all", n0)
-            .unionAll(row(1, "gopher_repetition", n1))
-            .unionAll(row(2, "gopher_quality", n2))
-            .unionAll(row(3, "exact_dedup", n3)))
+    base = spread_compute(df.select(F.col(id_col).alias("id"),
+                                    F.col(text_col).alias("text")))
+    # ONE pass per rule stage, ONE aggregation for all four funnel
+    # counts. The earlier per-stage-subquery shape instantiated the
+    # repetition kernel THREE times and the quality projection twice
+    # (each count re-derived its stage's subtree); the verdicts are
+    # per-doc booleans, so every funnel count is a conditional
+    # aggregate over one joined row per document.
+    q = gopher_quality(base, "id", "text", stopwords=stopwords) \
+        .select("id", F.col("keep").alias("qk"))
+    r = gopher_repetition(base, "id", "text") \
+        .select("id", F.col("keep").alias("rk"))
+    joined = (base.select("id", F.md5(F.col("text")).alias("h"))
+              .join(q, "id").join(r, "id"))
+    both = F.col("rk") & F.col("qk")
+    stats = joined.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("rk").cast("bigint")).alias("n1"),
+        F.sum(both.cast("bigint")).alias("n2"),
+        F.count_distinct(F.when(both, F.col("h"))).alias("n3"))
+    stages = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("stage"),
+                 F.lit(name).alias("stage_name"),
+                 F.coalesce(F.col(f"n{i}"), F.lit(0)).cast("bigint")
+                 .alias("n_docs"))
+        for i, name in enumerate(
+            ["all", "gopher_repetition", "gopher_quality",
+             "exact_dedup"])])
+    return (stats.select(F.explode(stages).alias("s"))
+            .select("s.stage", "s.stage_name", "s.n_docs"))
 
 
 def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
@@ -598,27 +606,71 @@ def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
        this is one hash join on the same code both sides.
     Docs with < 2 tokens keep a row (coverage 0 over a guarded
     denominator)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    # adjacent pairs via slice+zip — NOT transform(sequence, i ->
-    # element_at(toks, i)): projection collapse inlines the split()
-    # into every element_at, making that form O(len^2) per document
-    # (measured 6x slower at sf0.1); here split evaluates O(1) times
-    # per row and the md5 runs once per exploded pair
-    z = F.arrays_zip(F.slice(toks, 1, n - 1).alias("a"),
-                     F.slice(toks, 2, n - 1).alias("b"))
-    occ = (df.select(F.col(id_col).alias("id"), F.explode(z).alias("p"))
-           .select("id", code15(F.concat(F.col("p.a"), F.lit(" "),
-                                         F.col("p.b"))).alias("code")))
-    freq = (occ.distinct().groupBy("code")
+    import hashlib
+
+    import pyarrow as pa
+
+    # Doc-local bigram counting kernel: one row per DISTINCT bigram
+    # per doc with its occurrence count — the per-doc distinct
+    # aggregation happens where the text is parsed, so the build pass
+    # needs no occ.distinct() shuffle at all and the apply pass
+    # aggregates pre-counted rows. (The earlier explode + HOF chain
+    # also ran on the scan's 1-2 effective tasks — driver parquets
+    # hold ONE row group — and instantiated the explode per branch.)
+    id_type = dict(df.dtypes)[id_col]
+
+    def fn(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_i: list = []
+            out_c: list = []
+            out_n: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = [w for w in t.split(" ") if w]
+                if len(toks) < 2:
+                    continue
+                counts: dict = {}
+                prev = toks[0]
+                for w in toks[1:]:
+                    g = prev + " " + w
+                    counts[g] = counts.get(g, 0) + 1
+                    prev = w
+                for g, c in counts.items():
+                    out_i.append(i)
+                    out_c.append(int(
+                        md5(g.encode("utf-8")).hexdigest()[:15], 16))
+                    out_n.append(c)
+            if out_i:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_i, type=batch.column("id").type),
+                     pa.array(out_c, pa.int64()),
+                     pa.array(out_n, pa.int64())],
+                    names=["id", "code", "cnt"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    # ONE code-keyed exchange feeds both the build and the apply
+    # branch (the _cap_doc_freq reuse idiom) — without it each branch
+    # re-runs the kernel
+    occ = (df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("text"))
+           .repartition(width)
+           .mapInArrow(fn, schema=f"id {id_type}, code bigint, "
+                                   "cnt bigint")
+           .repartition(F.col("code")))
+    freq = (occ.groupBy("code")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") >= min_df)
             .select("code", F.lit(1).alias("known")))
     scored = (occ.join(freq, "code", "left")
               .groupBy("id")
-              .agg(F.count("*").alias("n_bigrams"),
-                   F.coalesce(F.sum("known"), F.lit(0)).cast("bigint")
-                   .alias("n_known")))
+              .agg(F.sum("cnt").cast("bigint").alias("n_bigrams"),
+                   F.coalesce(
+                       F.sum(F.when(F.col("known") == 1, F.col("cnt"))),
+                       F.lit(0)).cast("bigint").alias("n_known")))
     base = df.select(F.col(id_col).alias("id"))
     out = (base.join(scored, "id", "left")
            .select("id",
@@ -1021,20 +1073,48 @@ def cm_token_counts(df: DataFrame, id_col: str = "doc_id",
     at most d*width rows before one tiny shuffle (same pattern as
     hll_distinct, additive instead of max). The probe side touches
     only top_k * d sketch cells via a broadcast join."""
+    import pyarrow as pa
+
     d = len(CM_ROWS)
-    vals = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+
+    # Per-task token counting kernel: the stream of 6M+ occurrence
+    # rows (at sf1.0) reduces to one (token, count) partial per task
+    # BEFORE anything else runs — the sketch and the truth table are
+    # both additive, so every downstream aggregate consumes vocab-
+    # bounded partials instead of occurrence rows, and the md5 runs
+    # once per distinct token per task rather than once per occurrence
+    # (x d for the sketch explode).
+    def count_fn(batches):
+        counts: dict = {}
+        for batch in batches:
+            for t in batch.column("text").to_pylist():
+                if t is None:
+                    continue
+                for w in t.split(" "):
+                    if w:
+                        counts[w] = counts.get(w, 0) + 1
+        if counts:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counts.keys()), pa.string()),
+                 pa.array(list(counts.values()), pa.int64())],
+                names=["tok", "cnt"])
+
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    vals = (df.select(F.col(text_col).alias("text"))
+            .repartition(spread)
+            .mapInArrow(count_fn, schema="tok string, cnt bigint"))
     code = code15(F.col("tok")) % CODE_MOD
     rows = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  ((F.lit(a) * code + F.lit(b)) % CODE_MOD % width)
                  .alias("bucket"))
         for j, (a, b) in enumerate(CM_ROWS)])
-    cells = (vals.select(F.explode(rows).alias("c"))
-             .select("c.j", "c.bucket")
+    cells = (vals.select(F.explode(rows).alias("c"), "cnt")
+             .select("c.j", "c.bucket", "cnt")
              .groupBy("j", "bucket")
-             .agg(F.count("*").alias("cnt")))
+             .agg(F.sum("cnt").alias("cnt")))
 
-    truth = (vals.groupBy("tok").agg(F.count("*").alias("true_count")))
+    truth = (vals.groupBy("tok").agg(F.sum("cnt").alias("true_count")))
     from pyspark.sql import Window
     wnd = Window.orderBy(F.desc("true_count"), F.asc("tok"))
     probes = (truth.withColumn("rk", F.row_number().over(wnd))

@@ -519,22 +519,49 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
     BIGINT codes (never the text), and the first-occurrence ranking is
     ONE shuffle on the code — the same single-exchange profile as
     exact_dedup, just at sub-document granularity."""
+    import hashlib
+
+    import pyarrow as pa
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    n_pass = F.floor(F.size(toks) / k).cast("int")
-    idx = F.when(n_pass > 0, F.sequence(F.lit(0), n_pass - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    parts = F.transform(
-        idx,
-        lambda j: F.struct(
-            j.cast("int").alias("idx"),
-            code15(F.concat_ws(" ", F.slice(toks, j * k + 1, k)))
-            .alias("code")))
-    ex = (df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(parts).alias("p"))
-          .select("doc_id", F.col("p.idx").alias("passage_idx"),
-                  F.col("p.code").alias("passage_code")))
+    # Passage cutting + hashing is doc-local: one Arrow kernel behind
+    # the compute-spread repartition (the codegen explode inlined the
+    # tokenize HOF chain per passage and ran on the scan's 1-2
+    # effective tasks). Codes identical: k-token non-overlapping
+    # windows joined with one space, md5-prefix BIGINT.
+    id_type = dict(df.dtypes)[id_col]
+
+    def fn(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_i: list = []
+            out_j: list = []
+            out_c: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = [w for w in t.split(" ") if w]
+                for j in range(len(toks) // k):
+                    s = " ".join(toks[j * k:(j + 1) * k])
+                    out_i.append(i)
+                    out_j.append(j)
+                    out_c.append(int(
+                        md5(s.encode("utf-8")).hexdigest()[:15], 16))
+            if out_i:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_i, type=batch.column("id").type),
+                     pa.array(out_j, pa.int32()),
+                     pa.array(out_c, pa.int64())],
+                    names=["doc_id", "passage_idx", "passage_code"])
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("text"))
+          .repartition(width)
+          .mapInArrow(fn, schema=f"doc_id {id_type}, passage_idx int, "
+                                 "passage_code bigint"))
     w = Window.partitionBy("passage_code").orderBy("doc_id", "passage_idx")
     return ex.withColumn("keep", F.row_number().over(w) == 1)
 

@@ -223,9 +223,10 @@ def test_gopher_quality_is_scan_local(spark):
 
 
 def test_passage_dedup_single_shuffle(spark):
-    """Passage dedup: one Generate (the passage explode), ONE Exchange
-    (the first-occurrence window on the 15-byte code), no Python —
-    exact_dedup's profile at sub-document granularity."""
+    """Passage dedup: one doc-local Arrow kernel (no Generate), the
+    compute-spread repartition and the first-occurrence window's
+    exchange on the 15-byte code — exact_dedup's profile at
+    sub-document granularity."""
     from edspdf_spark.operators.dedup import passage_dedup
 
     df = spark.createDataFrame(
@@ -233,8 +234,9 @@ def test_passage_dedup_single_shuffle(spark):
         "doc_id long, text string")
     plan = _plan(passage_dedup(df, k=3))
     assert "EvalPython" not in plan
-    assert plan.count("Generate") == 1, plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
     got = passage_dedup(df, k=3).collect()
     assert len(got) == 20  # 2 passages x 10 docs
     # identical passages: exactly one keeper each
