@@ -26,7 +26,6 @@ here are one document's.
 
 from __future__ import annotations
 
-import warnings
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -34,6 +33,30 @@ import numpy as np
 
 Bloc = Dict[str, object]
 LabelMap = Dict[str, Union[str, List[str]]]
+
+_NAN = np.float64("nan")
+
+
+def _median_f64(vals: List[float]) -> np.float64:
+    """np.median over a small float list without the array-creation
+    overhead (this runs once per document-label): bit-identical —
+    same sort-and-middle selection, even length averages the two
+    middles as (a+b)/2 in float64 (what np.mean of two elements
+    computes), any NaN or an empty input yields NaN. Returned as
+    np.float64 so downstream division keeps numpy semantics
+    (x/0 -> inf/nan, never ZeroDivisionError — the reference's
+    simple.py:159-163 behavior)."""
+    n = len(vals)
+    if n == 0:
+        return _NAN
+    for v in vals:
+        if v != v:
+            return _NAN
+    s = sorted(vals)
+    m = n >> 1
+    if n & 1:
+        return np.float64(s[m])
+    return np.float64((s[m - 1] + s[m]) / 2.0)
 
 
 def aggregate_doc(blocs: Sequence[Bloc], sort: bool = False,
@@ -84,32 +107,38 @@ def aggregate_doc(blocs: Sequence[Bloc], sort: bool = False,
             else None
             for cur, nxt in pairs
         ]
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            height = np.median(
-                np.asarray([float(b["y1"]) - float(b["y0"]) for b in lines]))
-        for (cur, nxt), dy in zip(pairs, dys):
-            for style in cur.get("props") or []:
-                spans.append({
-                    "italic": style["italic"],
-                    "bold": style["bold"],
-                    "begin": int(style["begin"]) + len(text),
-                    "end": int(style["end"]) + len(text),
-                    "fontname": style.get("fontname"),
-                })
-            text = text + str(cur["text"])
-            if nxt is None:
-                continue
-            if cur["page_num"] != nxt["page_num"]:
-                text = text + "\n\n"
-            elif (dy / height > new_paragraph_threshold
-                  and float(nxt["y0"]) > float(cur["y1"])):
-                text = text + "\n\n"
-            elif (dy / height > new_line_threshold
-                  and float(nxt["y0"]) > float(cur["y1"])):
-                text = text + "\n"
-            else:
-                text = text + " "
+        height = _median_f64(
+            [float(b["y1"]) - float(b["y0"]) for b in lines])
+        # np.errstate: a zero-height label (all y1 == y0) divides by
+        # zero below; the reference (simple.py:159-163) relies on the
+        # resulting inf/nan comparisons, so only the RuntimeWarning is
+        # suppressed — values are unchanged (r5 VERDICT #4; pinned by
+        # test_zero_height_label_golden)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for (cur, nxt), dy in zip(pairs, dys):
+                for style in cur.get("props") or []:
+                    spans.append({
+                        "italic": style["italic"],
+                        "bold": style["bold"],
+                        "begin": int(style["begin"]) + len(text),
+                        "end": int(style["end"]) + len(text),
+                        "fontname": style.get("fontname"),
+                    })
+                text = text + str(cur["text"])
+                if nxt is None:
+                    continue
+                if cur["page_num"] != nxt["page_num"]:
+                    text = text + "\n\n"
+                else:
+                    ratio = dy / height
+                    if (ratio > new_paragraph_threshold
+                            and float(nxt["y0"]) > float(cur["y1"])):
+                        text = text + "\n\n"
+                    elif (ratio > new_line_threshold
+                          and float(nxt["y0"]) > float(cur["y1"])):
+                        text = text + "\n"
+                    else:
+                        text = text + " "
         out[label] = {"text": text, "properties": spans}
     return out
 

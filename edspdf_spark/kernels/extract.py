@@ -24,7 +24,7 @@ from typing import Dict, List, Optional
 
 from .pdf import PdfParseError, parse_pdf
 from .reading_order import reading_order
-from .styles import walk_line
+from .styles import walk_line, walk_line_text
 
 try:  # optional, for differential tests only
     from pdfminer.high_level import extract_pages as _pdfminer_extract_pages
@@ -67,7 +67,12 @@ def extract_doc(content: bytes, extract_style: bool = False,
         pages.append((w, h))
         page_blocs: List[Bloc] = []
         for line in page.lines:
-            text, props = walk_line(line.chars)
+            if extract_style:
+                text, props = walk_line(line.chars)
+            else:
+                # text-only fast path: same normalized text (pinned
+                # differentially), no span accounting
+                text, props = walk_line_text(line.runs), []
             if len(text) == 0:
                 continue
             page_blocs.append({
@@ -77,7 +82,7 @@ def extract_doc(content: bytes, extract_style: bool = False,
                 "y0": 1 - line.y1 / h,
                 "y1": 1 - line.y0 / h,
                 "text": text,
-                "props": props if extract_style else [],
+                "props": props,
             })
         kept = [b for b in page_blocs
                 if b["x0"] >= 0 and b["y0"] >= 0 and b["x1"] <= 1 and b["y1"] <= 1]

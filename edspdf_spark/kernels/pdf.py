@@ -396,12 +396,21 @@ class ParsedLine:
     y0: float  # bottom (pdf coords)
     x1: float
     y1: float  # top (pdf coords)
-    # per-char: (char, basefont-name, upright)
-    chars: List[Tuple[str, str, bool]] = field(default_factory=list)
+    # same-font text runs: (text, basefont-name) — ONE tuple per show
+    # op instead of one per char (the per-char layout dominated parse
+    # allocation); the `chars` property preserves the per-char view
+    # for the style walk and the tests
+    runs: List[Tuple[str, str]] = field(default_factory=list)
     # advance width (pts) of the first / last shown char — the
     # pdfminer-style run-merging margins are char-relative
     first_w: float = 0.0
     last_w: float = 0.0
+
+    @property
+    def chars(self) -> List[Tuple[str, str, bool]]:
+        """Per-char (char, basefont-name, upright) view of `runs`
+        (this parser only produces upright text)."""
+        return [(ch, f, True) for t, f in self.runs for ch in t]
 
 
 @dataclass
@@ -1064,7 +1073,7 @@ def _run_content(stream: bytes,
 
     def flush():
         nonlocal cur
-        if cur is not None and cur.chars:
+        if cur is not None and cur.runs:
             lines.append(cur)
         cur = None
 
@@ -1092,84 +1101,49 @@ def _run_content(stream: bytes,
             cur.x1 = max(cur.x1, x_end)
             cur.y0 = min(cur.y0, y0)
             cur.y1 = max(cur.y1, y1)
-        if not cur.chars:
+        if not cur.runs:
             cur.first_w = first_adv * abs(ax)
         cur.last_w = last_adv * abs(ax)
-        cur.chars.extend([(ch, font, True) for ch in decoded])
+        if decoded:
+            cur.runs.append((decoded, font))
         tm = _pretranslate(adv_text, 0.0, tm)
 
+    # branch order by measured token frequency (numbers and strings
+    # dominate every content stream; the op chain leads with the
+    # per-line ops). Dispatch on m.lastindex (an int; groups are
+    # 1=str 2=hex 3=name 4=num 5=arr 6=op) and compare op tokens as
+    # raw bytes — same semantics, fewer dead comparisons and no
+    # per-op decode. Alternation order in _TOKEN_RE is untouched
+    # (first-char classes are disjoint anyway).
+    append = stack.append
+    clear = stack.clear
     for m in _TOKEN_RE.finditer(stream):
-        kind = m.lastgroup
+        kind = m.lastindex
         tok = m.group(0)
-        if kind == "str":
-            stack.append(_decode_pdf_string(tok))
-        elif kind == "hex":
-            # <48656C6C6F> hex string; odd digit count pads with 0
-            digits = b"".join(tok[1:-1].split())
-            if len(digits) % 2:
-                digits += b"0"
-            stack.append(_text_bytes_to_str(
-                bytes.fromhex(digits.decode("ascii"))))
-        elif kind == "name":
-            stack.append(tok[1:].decode("latin-1"))
-        elif kind == "num":
-            stack.append(float(tok))
-        elif kind == "arr":
-            stack.append(_ARR_MARKER)  # sentinel: a '[' STRING (hex
-            # or escaped) must remain distinguishable from delimiters
-        elif kind == "op":
-            op = tok.decode()
-            if op == "BT":
-                in_text = True
-                tm = tlm = _MAT_ID
-                cur = None
-            elif op == "ET":
+        if kind == 4:                     # num
+            append(float(tok))
+        elif kind == 1:                   # str
+            append(_decode_pdf_string(tok))
+        elif kind == 6:                   # op
+            if tok == b"Tj":
+                show(str(stack[-1]))
+                clear()
+            elif tok == b"Td" or tok == b"TD":
+                dx, dy = float(stack[-2]), float(stack[-1])
+                if tok == b"TD":
+                    leading = -dy
+                tlm = _pretranslate(dx, dy, tlm)
+                tm = tlm
                 flush()
-                in_text = False
-            elif op == "q":
-                gstack.append(ctm)
-                stack.clear()
-            elif op == "Q":
-                if gstack:
-                    ctm = gstack.pop()
-                stack.clear()
-            elif op == "cm":
-                nums = [v for v in stack if isinstance(v, float)]
-                if len(nums) >= 6:
-                    ctm = _mat_mult(tuple(nums[-6:]), ctm)
-                stack.clear()
-            elif op == "Tf":
-                size = float(stack[-1])
-                finfo = fonts.get(str(stack[-2]), FontInfo(name="Unknown"))
-                font = finfo.name
-                stack.clear()
-            elif op == "Tm":
+                clear()
+            elif tok == b"Tm":
                 nums = [v for v in stack if isinstance(v, float)]
                 if len(nums) >= 6:
                     tlm = tuple(nums[-6:])
                     tm = tlm
                 flush()
-                stack.clear()
-            elif op in ("Td", "TD"):
-                dx, dy = float(stack[-2]), float(stack[-1])
-                if op == "TD":
-                    leading = -dy
-                tlm = _pretranslate(dx, dy, tlm)
-                tm = tlm
-                flush()
-                stack.clear()
-            elif op == "TL":
-                leading = float(stack[-1])
-                stack.clear()
-            elif op == "T*":
-                tlm = _pretranslate(0.0, -leading, tlm)
-                tm = tlm
-                flush()
-                stack.clear()
-            elif op == "Tj":
-                show(str(stack[-1]))
-                stack.clear()
-            elif op == "TJ":
+                clear()
+            elif tok == b"TJ":
                 for item in stack:
                     if isinstance(item, str):
                         show(item)
@@ -1178,9 +1152,53 @@ def _run_content(stream: bytes,
                         # text matrix by -n/1000*size (horizontal writing)
                         tm = _pretranslate(
                             -item / 1000.0 * size, 0.0, tm)
-                stack.clear()
+                clear()
+            elif tok == b"Tf":
+                size = float(stack[-1])
+                finfo = fonts.get(str(stack[-2]), FontInfo(name="Unknown"))
+                font = finfo.name
+                clear()
+            elif tok == b"BT":
+                in_text = True
+                tm = tlm = _MAT_ID
+                cur = None
+            elif tok == b"ET":
+                flush()
+                in_text = False
+            elif tok == b"q":
+                gstack.append(ctm)
+                clear()
+            elif tok == b"Q":
+                if gstack:
+                    ctm = gstack.pop()
+                clear()
+            elif tok == b"cm":
+                nums = [v for v in stack if isinstance(v, float)]
+                if len(nums) >= 6:
+                    ctm = _mat_mult(tuple(nums[-6:]), ctm)
+                clear()
+            elif tok == b"TL":
+                leading = float(stack[-1])
+                clear()
+            elif tok == b"T*":
+                tlm = _pretranslate(0.0, -leading, tlm)
+                tm = tlm
+                flush()
+                clear()
             else:
-                stack.clear()
+                clear()
+        elif kind == 3:                   # name
+            append(tok[1:].decode("latin-1"))
+        elif kind == 2:                   # hex
+            # <48656C6C6F> hex string; odd digit count pads with 0
+            digits = b"".join(tok[1:-1].split())
+            if len(digits) % 2:
+                digits += b"0"
+            append(_text_bytes_to_str(
+                bytes.fromhex(digits.decode("ascii"))))
+        else:                             # arr
+            append(_ARR_MARKER)  # sentinel: a '[' STRING (hex
+            # or escaped) must remain distinguishable from delimiters
     flush()
     return _merge_runs(lines)
 
@@ -1213,12 +1231,12 @@ def _merge_runs(runs: List[ParsedLine]) -> List[ParsedLine]:
             gap = run.x0 - prev.x1
             if (voverlap >= LA_LINE_OVERLAP * min(h1, h2)
                     and -cw <= gap < LA_CHAR_MARGIN * cw):
-                if gap > LA_WORD_MARGIN * cw and run.chars \
-                        and prev.chars and prev.chars[-1][0] != " " \
-                        and run.chars[0][0] != " ":
-                    fnt = run.chars[0][1]
-                    run_prev.chars.append((" ", fnt, True))
-                run_prev.chars.extend(run.chars)
+                if gap > LA_WORD_MARGIN * cw and run.runs \
+                        and prev.runs and prev.runs[-1][0][-1] != " " \
+                        and run.runs[0][0][0] != " ":
+                    fnt = run.runs[0][1]
+                    run_prev.runs.append((" ", fnt))
+                run_prev.runs.extend(run.runs)
                 run_prev.x1 = max(run_prev.x1, run.x1)
                 run_prev.x0 = min(run_prev.x0, run.x0)
                 run_prev.y0 = min(run_prev.y0, run.y0)

@@ -61,6 +61,30 @@ _NONE_KEY: Tuple[Optional[str], Optional[bool], Optional[bool]] = \
     (None, None, None)
 
 
+_MULTISPACE = re.compile(r" {2,}")
+
+
+def walk_line_text(runs: Iterable[Tuple[str, Optional[str]]]) -> str:
+    """Text-only walk_line over (text, fontname) runs of SINGLE-CHAR
+    granularity text (the built-in parser's layout): identical
+    normalized text, no span accounting — the fast path when
+    extract_style is off, where the per-char style-key machinery is
+    pure overhead.
+
+    Equivalence to walk_line's per-char state machine (pinned by
+    test_kernels.test_walk_line_text_matches_walk_line): every
+    whitespace char becomes one space (same \\s regex applied to the
+    whole string substitutes each char identically), skipping a space
+    when the output is empty or already ends with one IS collapse +
+    leading-strip, and the final rstrip() sees only plain spaces as
+    trailing whitespace in both forms."""
+    raw = "".join(t for t, _f in runs)
+    norm = _WS.sub(" ", raw)
+    if "  " in norm:
+        norm = _MULTISPACE.sub(" ", norm)
+    return norm.lstrip(" ").rstrip()
+
+
 def walk_line(chars: Iterable[Tuple[str, Optional[str], bool]]
               ) -> Tuple[str, List[StyleSpan]]:
     """chars: iterable of (char_text, fontname, upright).

@@ -94,6 +94,34 @@ def test_walk_line_empty():
     assert text == ""
 
 
+def test_walk_line_text_matches_walk_line():
+    """The extract_style=False fast path must produce the exact text
+    of the per-char walk for every whitespace shape the normalizer
+    handles (runs carry single-char-granularity text)."""
+    import random
+
+    from edspdf_spark.kernels.styles import walk_line_text
+
+    cases = [
+        "", "   ", "a", "  Hello\t world  ", "a b", "x\n\ny",
+        "tab\tandmore", " lead", "trail ", "a  b   c",
+        "\t\t", "mixed  thin  spaces",
+    ]
+    rng = random.Random(7)
+    alphabet = "ab \t\n  xy"
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+              for _ in range(200)]
+    for s in cases:
+        runs = []
+        i = 0
+        while i < len(s):  # arbitrary run segmentation
+            j = min(len(s), i + rng.randint(1, 5))
+            runs.append((s[i:j], "F"))
+            i = j
+        expect, _spans = walk_line([(c, "F", True) for c in s])
+        assert walk_line_text(runs) == expect, repr(s)
+
+
 # ---------------------------------------------------------------------------
 # reading order (reference structures.py:197-234)
 # ---------------------------------------------------------------------------
@@ -236,6 +264,28 @@ def test_aggregate_sort_option():
     ]
     assert aggregate_doc(blocs)["body"]["text"] == "world hello"
     assert aggregate_doc(blocs, sort=True)["body"]["text"] == "hello\n\nworld"
+
+
+def test_zero_height_label_golden():
+    """height = median(y1-y0) = 0: dy/height is an inf/nan float64
+    comparison (the reference's simple.py:159-163 semantics, NOT a
+    ZeroDivisionError) and must stay warning-free (r5 VERDICT #4).
+    Pinned: dy > 0 -> inf > 1.5 and nxt.y0 > cur.y1 -> paragraph
+    break; dy == 0 -> nan comparisons are False -> single space."""
+    import warnings as _w
+
+    rising = [
+        _bloc(0, 0.1, 0.10, 0.5, 0.10, "a"),   # y1 == y0
+        _bloc(0, 0.1, 0.30, 0.5, 0.30, "b"),
+    ]
+    flat = [
+        _bloc(0, 0.1, 0.10, 0.5, 0.10, "a"),
+        _bloc(0, 0.6, 0.10, 0.9, 0.10, "b"),
+    ]
+    with _w.catch_warnings():
+        _w.simplefilter("error")               # any warning -> failure
+        assert aggregate_doc(rising)["body"]["text"] == "a\n\nb"
+        assert aggregate_doc(flat)["body"]["text"] == "a b"
 
 
 # ---------------------------------------------------------------------------
