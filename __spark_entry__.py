@@ -76,7 +76,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents table, compute-spread: the testdata parquets hold ONE
+    row group, so the raw scan can never exceed one effective task no
+    matter the core count — every doc-local operator behind it was
+    serialized. spread_compute is a plan-time no-op once the source
+    has >= core-count partitions (any production-scale scan), so this
+    costs an exchange exactly when it buys parallelism; results are
+    unchanged (row order is the only difference, and the driver
+    compare is order-insensitive)."""
+    from edspdf_spark.plans.salt import spread_compute
+
+    return spread_compute(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark, sf_dir):

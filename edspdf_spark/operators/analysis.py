@@ -473,8 +473,9 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                 + [pa.array(rows[c], pa.int64()) for c in int_cols],
                 names=["id"] + int_cols)
 
-    width = df.sparkSession.sparkContext.defaultParallelism
-    ints = (df.select(id_col, text_col).repartition(width)
+    from ..plans.salt import spread_compute
+
+    ints = (spread_compute(df.select(id_col, text_col))
             .mapInArrow(fn, schema=out_schema))
 
     c1 = F.when(F.col("n_chars") == 0, F.lit(1).cast("bigint")) \
@@ -651,13 +652,13 @@ def bigram_coverage(df: DataFrame, id_col: str = "doc_id",
                      pa.array(out_n, pa.int64())],
                     names=["id", "code", "cnt"])
 
-    width = df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.salt import spread_compute
+
     # ONE code-keyed exchange feeds both the build and the apply
     # branch (the _cap_doc_freq reuse idiom) — without it each branch
     # re-runs the kernel
-    occ = (df.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("text"))
-           .repartition(width)
+    occ = (spread_compute(df.select(F.col(id_col).alias("id"),
+                                    F.col(text_col).alias("text")))
            .mapInArrow(fn, schema=f"id {id_type}, code bigint, "
                                    "cnt bigint")
            .repartition(F.col("code")))
@@ -1099,9 +1100,9 @@ def cm_token_counts(df: DataFrame, id_col: str = "doc_id",
                  pa.array(list(counts.values()), pa.int64())],
                 names=["tok", "cnt"])
 
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    vals = (df.select(F.col(text_col).alias("text"))
-            .repartition(spread)
+    from ..plans.salt import spread_compute
+
+    vals = (spread_compute(df.select(F.col(text_col).alias("text")))
             .mapInArrow(count_fn, schema="tok string, cnt bigint"))
     code = code15(F.col("tok")) % CODE_MOD
     rows = F.array(*[

@@ -94,10 +94,10 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
                      pa.array(out_c, pa.int64())],
                     names=["id", "code"])
 
-    width = df.sparkSession.sparkContext.defaultParallelism
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.col(text_col).alias("text"))
-          .repartition(width)
+    from ..plans.salt import spread_compute
+
+    sh = (spread_compute(df.select(F.col(id_col).alias("id"),
+                                   F.col(text_col).alias("text")))
           .mapInArrow(fn, schema=out_schema))
     if max_doc_freq is not None:
         sh = _cap_doc_freq(sh, max_doc_freq)
@@ -480,10 +480,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  pa.array(fp, pa.int64())],
                 names=["id", "simhash"])
 
-    width = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("text"))
-            .repartition(width)
+    from ..plans.salt import spread_compute
+
+    return (spread_compute(df.select(F.col(id_col).alias("id"),
+                                     F.col(text_col).alias("text")))
             .mapInArrow(fn, schema=out_schema))
 
 
@@ -556,10 +556,10 @@ def passage_dedup(df: DataFrame, id_col: str = "doc_id",
                      pa.array(out_c, pa.int64())],
                     names=["doc_id", "passage_idx", "passage_code"])
 
-    width = df.sparkSession.sparkContext.defaultParallelism
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.col(text_col).alias("text"))
-          .repartition(width)
+    from ..plans.salt import spread_compute
+
+    ex = (spread_compute(df.select(F.col(id_col).alias("id"),
+                                   F.col(text_col).alias("text")))
           .mapInArrow(fn, schema=f"doc_id {id_type}, passage_idx int, "
                                  "passage_code bigint"))
     w = Window.partitionBy("passage_code").orderBy("doc_id", "passage_idx")
