@@ -1046,13 +1046,26 @@ def q_reading_order(spark, sf_dir):
     )
 
     def _handle(pdf: pd.DataFrame) -> pd.DataFrame:
+        # plain-list group walk (rows arrive sorted by (doc_id, k)
+        # from the repartition+sortWithinPartitions below; the former
+        # per-doc pandas groupby/sort_values/at[] cost ~10x the
+        # 6-element reading-order kernel)
+        ids = pdf["doc_id"].tolist()
+        ks = pdf["k"].tolist()
+        y0s = pdf["y0"].tolist()
+        y1s = pdf["y1"].tolist()
         out_rows = []
-        for doc_id, g in pdf.groupby("doc_id", sort=False):
-            g = g.sort_values("k").reset_index(drop=True)
-            keys = [(0, 0.1, 0.9, r.y0, r.y1) for r in g.itertuples()]
+        i, n = 0, len(ids)
+        while i < n:
+            d = ids[i]
+            j = i
+            while j < n and ids[j] == d:
+                j += 1
+            keys = [(0, 0.1, 0.9, y0s[m], y1s[m]) for m in range(i, j)]
             perm = reading_order(keys)
             for pos, idx in enumerate(perm):
-                out_rows.append((int(doc_id), int(g.at[idx, "k"]), pos))
+                out_rows.append((int(d), int(ks[i + idx]), pos))
+            i = j
         return pd.DataFrame(out_rows,
                             columns=["doc_id", "k", "ord_pos"])
 

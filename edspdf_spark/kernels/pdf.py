@@ -563,6 +563,26 @@ class _ArrayMarker:
 
 _ARR_MARKER = _ArrayMarker()
 
+# Fast path for the dominant writer shape: a stream that is NOTHING
+# but BT / 6-number Tm / Tf / literal-string Tj / ET lines (no
+# escapes, no kerning, no graphics state). When the WHOLE stream
+# matches, _run_content replays it with one regex step per operator
+# instead of one per token and no operand stack — same state
+# transitions, same show()/flush() closures, bit-identical floats
+# (float() on the same byte slices). Anything else — TJ arrays,
+# escaped/hex strings, q/Q/cm overlays (annotate appends those),
+# Td/TD/T* — fails the fullmatch and takes the general interpreter.
+_FNUM = rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)"
+_FAST_STREAM_RE = re.compile(
+    rb"(?:BT\n(?:%s(?: %s){5} Tm\n|/[^\s/\[\]()<>]+ %s Tf\n"
+    rb"|\([^\\()]*\) Tj\n)+ET\n)+\Z" % (_FNUM, _FNUM, _FNUM))
+_FAST_OP_RE = re.compile(
+    rb"(?:(?P<s>\([^\\()]*\)) Tj\n"
+    rb"|(?P<tm>%s(?: %s){5}) Tm\n"
+    rb"|/(?P<tag>[^\s/\[\]()<>]+) (?P<size>%s) Tf\n"
+    rb"|(?P<bt>BT)\n"
+    rb"|(?P<et>ET)\n)" % (_FNUM, _FNUM, _FNUM))
+
 _STR_ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",
@@ -1107,6 +1127,33 @@ def _run_content(stream: bytes,
         if decoded:
             cur.runs.append((decoded, font))
         tm = _pretranslate(adv_text, 0.0, tm)
+
+    if _FAST_STREAM_RE.fullmatch(stream):
+        # restricted-grammar replay (see _FAST_STREAM_RE): the
+        # interpreter's behavior on BT/Tm/Tf/Tj/ET with an empty
+        # graphics stack reduces exactly to these transitions
+        for m in _FAST_OP_RE.finditer(stream):
+            k = m.lastindex
+            if k == 1:                      # (string) Tj
+                show(_decode_pdf_string(m.group(1)))
+            elif k == 2:                    # a b c d e f Tm
+                tlm = tuple(map(float, m.group(2).split(b" ")))
+                tm = tlm
+                flush()
+            elif k == 4:                    # /Tag size Tf
+                size = float(m.group(4))
+                finfo = fonts.get(m.group(3).decode("latin-1"),
+                                  FontInfo(name="Unknown"))
+                font = finfo.name
+            elif k == 5:                    # BT
+                in_text = True
+                tm = tlm = _MAT_ID
+                cur = None
+            else:                           # ET
+                flush()
+                in_text = False
+        flush()
+        return _merge_runs(lines)
 
     # branch order by measured token frequency (numbers and strings
     # dominate every content stream; the op chain leads with the

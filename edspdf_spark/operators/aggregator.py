@@ -37,17 +37,8 @@ _IN_COLS = ["url", "page_num", "order_idx", "x0", "x1", "y0", "y1",
 _OUT_COLS = ["url", "label", "text", "properties", "error"]
 
 
-def _agg_one(url: str, group: pd.DataFrame, sort, nl, np_, label_map,
-             markdown) -> List[tuple]:
-    error = bool(group["error"].any())
-    body = group[group["page_num"] >= 0]
-    blocs = [{
-        "page_num": int(r.page_num), "x0": float(r.x0), "y0": float(r.y0),
-        "x1": float(r.x1), "y1": float(r.y1), "text": r.text,
-        "label": r.label,
-        "props": [dict(p) if not isinstance(p, dict) else p
-                  for p in (r.props if r.props is not None else [])],
-    } for r in body.itertuples()]
+def _agg_one(url: str, blocs: List[dict], error: bool, sort, nl, np_,
+             label_map, markdown) -> List[tuple]:
     out = aggregate_doc(blocs, sort=sort, new_line_threshold=nl,
                         new_paragraph_threshold=np_, label_map=label_map)
     rows = []
@@ -89,10 +80,45 @@ def aggregate(labeled_blocs: DataFrame, sort: bool = False,
             yield _process(tail)
 
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        # plain-list group walk: rows arrive sorted by (url, page_num,
+        # order_idx) — sortWithinPartitions upstream, order preserved
+        # through the batch-boundary tail concat — so the former
+        # per-group pandas sort_values was a stable no-op, and the
+        # groupby/itertuples machinery cost ~10x the kernel on small
+        # documents
         rows: List[tuple] = []
-        for url, group in pdf.groupby("url", sort=False):
-            g = group.sort_values(["page_num", "order_idx"])
-            rows.extend(_agg_one(url, g, sort, nl, np_, label_map, markdown))
+        urls = pdf["url"].tolist()
+        pages = pdf["page_num"].tolist()
+        x0s, x1s = pdf["x0"].tolist(), pdf["x1"].tolist()
+        y0s, y1s = pdf["y0"].tolist(), pdf["y1"].tolist()
+        texts, labels = pdf["text"].tolist(), pdf["label"].tolist()
+        props_col, errs = pdf["props"].tolist(), pdf["error"].tolist()
+        n = len(urls)
+        i = 0
+        while i < n:
+            url = urls[i]
+            j = i
+            error = False
+            blocs: List[dict] = []
+            while j < n and urls[j] == url:
+                if errs[j]:
+                    error = True
+                if pages[j] >= 0:
+                    props = props_col[j]
+                    blocs.append({
+                        "page_num": int(pages[j]),
+                        "x0": float(x0s[j]), "y0": float(y0s[j]),
+                        "x1": float(x1s[j]), "y1": float(y1s[j]),
+                        "text": texts[j], "label": labels[j],
+                        "props": [dict(p) if not isinstance(p, dict)
+                                  else p
+                                  for p in (props if props is not None
+                                            else [])],
+                    })
+                j += 1
+            rows.extend(_agg_one(url, blocs, error, sort, nl, np_,
+                                 label_map, markdown))
+            i = j
         return pd.DataFrame(rows, columns=_OUT_COLS)
 
     # explicit numPartitions: without it AQE may coalesce this tiny-by-

@@ -94,6 +94,28 @@ def test_walk_line_empty():
     assert text == ""
 
 
+def test_fast_stream_replay_matches_interpreter():
+    """_run_content's restricted-grammar fast path must be
+    bit-identical to the general interpreter on synth documents (the
+    shape it exists for), and real-writer constructs must fall back
+    (pinned indirectly by the real-PDF parity suite)."""
+    import re as _re
+
+    from edspdf_spark.kernels import pdf as P
+
+    saved = P._FAST_STREAM_RE
+    try:
+        for i in (0, 3, 7, 13, 17, 42):
+            blob = make_pdf_bytes(i)
+            P._FAST_STREAM_RE = saved
+            fast = extract_doc(blob, extract_style=True)
+            P._FAST_STREAM_RE = _re.compile(rb"(?!x)x")  # never match
+            slow = extract_doc(blob, extract_style=True)
+            assert fast == slow, f"doc {i}"
+    finally:
+        P._FAST_STREAM_RE = saved
+
+
 def test_walk_line_text_matches_walk_line():
     """The extract_style=False fast path must produce the exact text
     of the per-char walk for every whitespace shape the normalizer
