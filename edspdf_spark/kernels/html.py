@@ -78,7 +78,8 @@ def _unescape(text: str) -> str:
 # `charset=` token in the head bytes, else utf-8. Unknown charsets
 # fall back to utf-8-replace (never raises, the crawl contract).
 _CHARSET_RE = re.compile(
-    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""",
+    re.I)
 _CHARSET_ALIASES = {
     "utf-8": "utf-8", "utf8": "utf-8",
     "iso-8859-1": "latin-1", "iso8859-1": "latin-1", "latin-1": "latin-1",
@@ -104,10 +105,12 @@ def sniff_charset(data: bytes) -> str:
     Content-Type form), else utf-8."""
     if data.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
-    if data.startswith(b"\xff\xfe"):
-        return "utf-16-le"
-    if data.startswith(b"\xfe\xff"):
-        return "utf-16-be"
+    if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
+        # 'utf-16' (not the endian-specific codecs) so Python consumes
+        # the BOM — the -le/-be forms left U+FEFF as the first char of
+        # every decoded text, inconsistent with the utf-8-sig branch
+        # (r5 ADVICE #1)
+        return "utf-16"
     m = _CHARSET_RE.search(data[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()

@@ -445,7 +445,7 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                 vocab: dict = {}
                 tids = np.fromiter(
                     (vocab.setdefault(t, len(vocab)) for t in tk),
-                    dtype=np.int64, count=len(tk))
+                    dtype=np.int32, count=len(tk))
                 cum = np.zeros(len(tk) + 1, dtype=np.int64)
                 if tk:
                     np.cumsum(np.fromiter((len(t) for t in tk),
@@ -457,10 +457,18 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                     if len(tk) < n:
                         rows[key].append(0)
                         continue
-                    wins = sliding_window_view(tids, n)
+                    # group windows via a void (raw-bytes) view: exact
+                    # equality grouping like unique(axis=0) but a
+                    # single memcmp sort instead of a lexsort; group
+                    # ORDER differs, which is irrelevant — only
+                    # first-occurrence indices and counts are used,
+                    # and identical grams have identical lengths
+                    wins = np.ascontiguousarray(
+                        sliding_window_view(tids, n))
+                    voidv = wins.view(np.dtype(
+                        (np.void, wins.dtype.itemsize * n))).ravel()
                     _, first, counts = np.unique(
-                        wins, axis=0, return_index=True,
-                        return_counts=True)
+                        voidv, return_index=True, return_counts=True)
                     lens = cum[first + n] - cum[first] + (n - 1)
                     if n <= 4:
                         rows[key].append(int((counts * lens).max()))

@@ -518,9 +518,12 @@ def host_label_propagation(edges: DataFrame, seeds: DataFrame,
         if driver_threshold > 0:
             n, payload = _edge_stats(e)
             if n <= driver_threshold and payload <= driver_max_bytes:
-                seed_rows = seeds.select(
-                    F.col("host"),
-                    F.col("label").cast("bigint")).collect()
+                # NULL-labeled seeds are unseeded in the distributed
+                # path (isNotNull join); mirror that here instead of
+                # crashing on None * int (r5 ADVICE #2)
+                seed_rows = seeds.where(F.col("label").isNotNull()) \
+                    .select(F.col("host"),
+                            F.col("label").cast("bigint")).collect()
                 rows = _driver_label_prop_rows(
                     [(r[0], r[1]) for r in e.collect()],
                     {r[0]: r[1] for r in seed_rows},

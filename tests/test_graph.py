@@ -466,3 +466,26 @@ def test_pagerank_bytes_gate_routes_wide_ids_distributed(spark):
     routed = sorted((r.host, r.rank_scaled) for r in host_pagerank(
         edges, iterations=2, driver_max_bytes=1024).collect())
     assert drv == routed
+
+
+def test_label_propagation_null_seed_matches_distributed(spark):
+    """r5 ADVICE #2: a NULL-labeled seed row is unseeded in the
+    distributed path (isNotNull semantics); the driver fixpoint must
+    mirror that instead of raising TypeError."""
+    from edspdf_spark.operators.graph import (host_label_propagation,
+                                              release_graph_caches)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")],
+        "src_host string, dst_host string")
+    seeds = spark.createDataFrame(
+        [("a", 1), ("b", None)], "host string, label int")
+    try:
+        fast = {(r.host, r.score_scaled, r.verdict)
+                for r in host_label_propagation(edges, seeds).collect()}
+        dist = {(r.host, r.score_scaled, r.verdict)
+                for r in host_label_propagation(
+                    edges, seeds, driver_threshold=0).collect()}
+    finally:
+        release_graph_caches()
+    assert fast == dist

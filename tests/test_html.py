@@ -172,3 +172,29 @@ def test_charset_sniffing_decodes_declared_encodings():
           "Привет мир это документ с достаточно длинным текстом"
           "</p></body></html>").encode("cp1251")
     assert "Привет мир" in extract_html_text(ru)[0]
+
+
+def test_utf16_bom_consumed_and_meta_anchored_sniff():
+    """r5 ADVICE fixes: (1) UTF-16 BOMs decode via the 'utf-16' codec
+    so U+FEFF never leaks into the text (consistent with utf-8-sig);
+    (2) the charset sniff only fires inside a <meta ...> tag — a page
+    whose early BODY TEXT mentions 'charset=shift_jis' stays UTF-8."""
+    from edspdf_spark.kernels.html import decode_html, sniff_charset
+
+    body = "café wide text " + "filler words here " * 5
+    page = ("<html><head><title>t</title></head><body><p>"
+            + body + "</p></body></html>")
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        data = bom + page.encode(enc)
+        assert sniff_charset(data) == "utf-16"
+        decoded = decode_html(data)
+        assert not decoded.startswith("﻿"), repr(decoded[:4])
+        assert "café" in decoded
+
+    trap = ("<html><body><p>to set charset=shift_jis in a meta tag "
+            + body + "</p></body></html>").encode("utf-8")
+    assert sniff_charset(trap) == "utf-8"
+    # real meta declarations (plain and http-equiv) still sniff
+    meta = ("<html><head><meta charset='iso-8859-1'></head><body><p>"
+            + body + "</p></body></html>").encode("latin-1")
+    assert sniff_charset(meta) == "latin-1"
