@@ -75,7 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # and DuckDB both parse bare `0.43` as DECIMAL, which would diverge.
 # ---------------------------------------------------------------------------
 
-def _docs(spark, sf_dir):
+def _docs(spark, sf_dir, spread=True):
     """Documents table, compute-spread: the testdata parquets hold ONE
     row group, so the raw scan can never exceed one effective task no
     matter the core count — every doc-local operator behind it was
@@ -83,10 +83,19 @@ def _docs(spark, sf_dir):
     has >= core-count partitions (any production-scale scan), so this
     costs an exchange exactly when it buys parallelism; results are
     unchanged (row order is the only difference, and the driver
-    compare is order-insensitive)."""
+    compare is order-insensitive).
+
+    spread=False for consumers where the exchange buys nothing:
+    queries that immediately aggregate (the map side is one cheap
+    pass) and operators that compute-spread their own pruned
+    (id, text) projection internally (A/B measured: the blanket
+    spread cost those ~0.3-0.5 s each at sf1.0 for zero benefit)."""
+    scan = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spread:
+        return scan
     from edspdf_spark.plans.salt import spread_compute
 
-    return spread_compute(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_compute(scan)
 
 
 def _embeddings(spark, sf_dir):
@@ -103,7 +112,7 @@ def _lineitem(spark, sf_dir):
 
 def _corpus_exact(spark, sf_dir):
     """documents + exact copies of every 10th doc (id+1000000)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     dup = (d.where(F.col("doc_id") % 10 == 0)
            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     return d.unionByName(dup)
@@ -119,7 +128,7 @@ CORPUS_EXACT_SQL = """
 
 def _corpus_near(spark, sf_dir):
     """documents + NEAR copies (every 5th doc, last 15 chars dropped)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     dup = (d.where(F.col("doc_id") % 5 == 0)
            .select((F.col("doc_id") + 1000000).alias("doc_id"),
                    F.expr("substring(text, 1, length(text) - 15)")
@@ -1116,7 +1125,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir), bits=16)
+    return simhash(_docs(spark, sf_dir, spread=False), bits=16)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1538,7 +1547,7 @@ FROM q
 def q_hash_split(spark, sf_dir):
     from edspdf_spark.operators.sampling import hash_split
 
-    return hash_split(_docs(spark, sf_dir))
+    return hash_split(_docs(spark, sf_dir, spread=False))
 
 
 def _hash_split_oracle() -> str:
@@ -1564,7 +1573,7 @@ MIX_RATES = {"src0": 500, "src1": 250, "src2": 0}
 def q_stratified_sample(spark, sf_dir):
     from edspdf_spark.operators.sampling import stratified_sample
 
-    return stratified_sample(_docs(spark, sf_dir), MIX_RATES) \
+    return stratified_sample(_docs(spark, sf_dir, spread=False), MIX_RATES) \
         .select("doc_id", "source")
 
 
@@ -1698,7 +1707,7 @@ SELECT id, {red} AS text, {counts} FROM docs
 def q_bigram_coverage(spark, sf_dir):
     from edspdf_spark.operators.analysis import bigram_coverage
 
-    return bigram_coverage(_docs(spark, sf_dir))
+    return bigram_coverage(_docs(spark, sf_dir, spread=False))
 
 
 def _bigram_coverage_oracle() -> str:
@@ -1777,7 +1786,7 @@ FROM s GROUP BY key, sess
 def q_domain_stats(spark, sf_dir):
     from edspdf_spark.operators.analysis import domain_stats
 
-    return domain_stats(_docs(spark, sf_dir))
+    return domain_stats(_docs(spark, sf_dir, spread=False))
 
 
 _DOMAIN_STATS_ORACLE = """
@@ -1885,7 +1894,7 @@ FROM k
 def q_quality_funnel(spark, sf_dir):
     from edspdf_spark.operators.analysis import quality_funnel
 
-    return quality_funnel(_docs(spark, sf_dir),
+    return quality_funnel(_docs(spark, sf_dir, spread=False),
                           stopwords=FUNNEL_STOPWORDS)
 
 
@@ -1914,7 +1923,7 @@ FROM documents d JOIN s2 ON d.doc_id = s2.id
 def q_pack_sequences(spark, sf_dir):
     from edspdf_spark.operators.pack import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir))
+    return pack_sequences(_docs(spark, sf_dir, spread=False))
 
 
 def _pack_oracle() -> str:
@@ -1951,7 +1960,7 @@ FROM c
 def q_gopher_repetition(spark, sf_dir):
     from edspdf_spark.operators.analysis import gopher_repetition
 
-    return gopher_repetition(_docs(spark, sf_dir))
+    return gopher_repetition(_docs(spark, sf_dir, spread=False))
 
 
 def _gopher_repetition_oracle() -> str:
@@ -2128,7 +2137,7 @@ PASSAGE_K = 3
 def q_passage_dedup(spark, sf_dir):
     from edspdf_spark.operators.dedup import passage_dedup
 
-    return passage_dedup(_docs(spark, sf_dir), k=PASSAGE_K)
+    return passage_dedup(_docs(spark, sf_dir, spread=False), k=PASSAGE_K)
 
 
 def _passage_oracle() -> str:
@@ -2163,7 +2172,7 @@ SUBSTR_W = 10
 def q_substring_dedup(spark, sf_dir):
     from edspdf_spark.operators.dedup import substring_dedup
 
-    return substring_dedup(_docs(spark, sf_dir), w=SUBSTR_W)
+    return substring_dedup(_docs(spark, sf_dir, spread=False), w=SUBSTR_W)
 
 
 def _substring_dedup_oracle() -> str:
@@ -2213,7 +2222,7 @@ DECON_MOD = 29
 def q_decontaminate(spark, sf_dir):
     from edspdf_spark.operators.dedup import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     bench = docs.where(f"doc_id % {DECON_MOD} = 0")
     train = docs.where(f"doc_id % {DECON_MOD} <> 0")
     return decontaminate(train, bench, k=DECON_K)
@@ -2245,7 +2254,7 @@ LEFT JOIN hits h ON t.id = h.id
 def q_quality_classify(spark, sf_dir):
     from edspdf_spark.operators.analysis import quality_classify
 
-    return quality_classify(_docs(spark, sf_dir))
+    return quality_classify(_docs(spark, sf_dir, spread=False))
 
 
 def _quality_classify_oracle() -> str:
@@ -2279,7 +2288,7 @@ FROM w GROUP BY id
 def q_lm_ppl_buckets(spark, sf_dir):
     from edspdf_spark.operators.analysis import lm_perplexity_buckets
 
-    return lm_perplexity_buckets(_docs(spark, sf_dir))
+    return lm_perplexity_buckets(_docs(spark, sf_dir, spread=False))
 
 
 _LM_PPL_ORACLE = """
@@ -2426,7 +2435,7 @@ FROM assigned a LEFT JOIN dup d ON a.id = d.id
 def q_dsir_select(spark, sf_dir):
     from edspdf_spark.operators.analysis import dsir_weights
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     # target domain sample = the English slice (production: a small
     # trusted-quality corpus); raw = everything. cutoff -115 ~ the
     # corpus median weight (|target| ~ 0.44|raw| puts every weight
@@ -2601,7 +2610,7 @@ WHERE rn = 1
 def q_hll_distinct(spark, sf_dir):
     from edspdf_spark.operators.analysis import hll_distinct
 
-    return hll_distinct(_docs(spark, sf_dir), "text", p=6)
+    return hll_distinct(_docs(spark, sf_dir, spread=False), "text", p=6)
 
 
 # p=6: m=64 registers, w = top 54 hash bits, rmax = 55, 2^55 =
@@ -2643,7 +2652,7 @@ FROM est CROSS JOIN ex
 def q_cm_sketch(spark, sf_dir):
     from edspdf_spark.operators.analysis import cm_token_counts
 
-    return cm_token_counts(_docs(spark, sf_dir), top_k=20, width=1024)
+    return cm_token_counts(_docs(spark, sf_dir, spread=False), top_k=20, width=1024)
 
 
 def _cm_oracle() -> str:
@@ -2745,7 +2754,7 @@ FROM documents
 def q_winnow_fingerprints(spark, sf_dir):
     from edspdf_spark.operators.analysis import winnow_fingerprints
 
-    return winnow_fingerprints(_docs(spark, sf_dir))
+    return winnow_fingerprints(_docs(spark, sf_dir, spread=False))
 
 
 def _winnow_oracle() -> str:
@@ -3396,7 +3405,7 @@ def q_canonical_dedup(spark, sf_dir):
     use-case): key = canonical if present else the page url."""
     from edspdf_spark.operators.graph import html_meta
 
-    pages = _docs(spark, sf_dir).selectExpr(
+    pages = _docs(spark, sf_dir, spread=False).selectExpr(
         "'https://example.org/doc/' || CAST(doc_id AS VARCHAR(12)) AS url",
         f"{_META_HTML_SQL} AS html")
     meta = html_meta(pages)
@@ -3511,11 +3520,11 @@ def q_robots_filter(spark, sf_dir):
     from edspdf_spark.operators.robots import (robots_rules,
                                                robots_verdicts)
 
-    robots = _docs(spark, sf_dir).where("doc_id < 10").selectExpr(
+    robots = _docs(spark, sf_dir, spread=False).where("doc_id < 10").selectExpr(
         "'h' || CAST(doc_id AS VARCHAR(4)) || '.example.com' AS host",
         f"{_ROBOTS_TXT_SQL} AS robots_txt")
     rules = robots_rules(robots, agent="spark-graft")
-    frontier = _docs(spark, sf_dir).selectExpr(
+    frontier = _docs(spark, sf_dir, spread=False).selectExpr(
         f"{_ROBOTS_URL_SQL} AS url")
     return robots_verdicts(frontier, rules)
 
@@ -3837,7 +3846,7 @@ FROM l
 def q_domain_hll(spark, sf_dir):
     from edspdf_spark.operators.analysis import hll_distinct_by
 
-    return hll_distinct_by(_docs(spark, sf_dir), "source", "text")
+    return hll_distinct_by(_docs(spark, sf_dir, spread=False), "source", "text")
 
 
 _DOMAIN_HLL_ORACLE = """
@@ -3872,7 +3881,7 @@ FROM base
 def q_skew_stats(spark, sf_dir):
     from edspdf_spark.plans.salt import skew_stats
 
-    return skew_stats(_docs(spark, sf_dir), "source", n_parts=32)
+    return skew_stats(_docs(spark, sf_dir, spread=False), "source", n_parts=32)
 
 
 _SKEW_STATS_ORACLE = """
@@ -3897,7 +3906,7 @@ FROM tot t, top, p99
 def q_length_quantiles(spark, sf_dir):
     from edspdf_spark.operators.analysis import length_quantiles
 
-    return length_quantiles(_docs(spark, sf_dir))
+    return length_quantiles(_docs(spark, sf_dir, spread=False))
 
 
 _LENGTH_QUANTILES_ORACLE = """
@@ -4262,7 +4271,7 @@ def q_snapshot_diff(spark, sf_dir):
     (surviving) changed, every 10th re-added under a new id."""
     from edspdf_spark.operators.dedup import snapshot_diff
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     old = d
     new = (d.where(F.col("doc_id") % 13 != 0)
            .select("doc_id",
@@ -4319,7 +4328,7 @@ def q_bloom_filter(spark, sf_dir):
     content perturbed); output marks claimed vs actual membership."""
     from edspdf_spark.operators.analysis import bloom_build, bloom_member
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     bloom = bloom_build(d, col="text")
     present = d.where(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("probe_id"), F.col("text").alias("probe"),
