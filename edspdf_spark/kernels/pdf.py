@@ -575,13 +575,13 @@ _ARR_MARKER = _ArrayMarker()
 _FNUM = rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)"
 _FAST_STREAM_RE = re.compile(
     rb"(?:BT\n(?:%s(?: %s){5} Tm\n|/[^\s/\[\]()<>]+ %s Tf\n"
-    rb"|\([^\\()]*\) Tj\n)+ET\n)+\Z" % (_FNUM, _FNUM, _FNUM))
+    rb"|\([^\\()]*\) Tj\n)+ET(?:\n|\Z))+\Z" % (_FNUM, _FNUM, _FNUM))
 _FAST_OP_RE = re.compile(
     rb"(?:(?P<s>\([^\\()]*\)) Tj\n"
     rb"|(?P<tm>%s(?: %s){5}) Tm\n"
     rb"|/(?P<tag>[^\s/\[\]()<>]+) (?P<size>%s) Tf\n"
     rb"|(?P<bt>BT)\n"
-    rb"|(?P<et>ET)\n)" % (_FNUM, _FNUM, _FNUM))
+    rb"|(?P<et>ET)(?:\n|\Z))" % (_FNUM, _FNUM, _FNUM))
 
 _STR_ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
