@@ -765,6 +765,48 @@ def hashed_feature_buckets(df: DataFrame, id_col: str = "doc_id",
             .select("id", (code15(F.col("f")) % buckets).alias("b")))
 
 
+def _iter_bucket_counts(ids, texts, buckets: int, memo: dict):
+    """Per-doc hashed-feature bucket counts for the fastText-style
+    unigram+bigram feature set (every OCCURRENCE counts): yields
+    (id, {bucket: count}, n_occurrences) for docs with >= 1 token;
+    NULL/empty docs yield nothing (the explode semantics). The
+    feature->bucket memo is per task: features repeat heavily across
+    documents, so the md5 runs once per DISTINCT feature per task
+    instead of once per occurrence (size-capped against adversarial
+    vocabularies)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    cap = 1 << 22
+    for i, t in zip(ids, texts):
+        if t is None:
+            continue
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            continue
+        counts: dict = {}
+        prev = None
+        for w in toks:
+            b = memo.get(w)
+            if b is None:
+                b = int(md5(w.encode("utf-8")).hexdigest()[:15],
+                        16) % buckets
+                if len(memo) < cap:
+                    memo[w] = b
+            counts[b] = counts.get(b, 0) + 1
+            if prev is not None:
+                g = prev + " " + w
+                b2 = memo.get(g)
+                if b2 is None:
+                    b2 = int(md5(g.encode("utf-8")).hexdigest()[:15],
+                             16) % buckets
+                    if len(memo) < cap:
+                        memo[g] = b2
+                counts[b2] = counts.get(b2, 0) + 1
+            prev = w
+        yield i, counts, 2 * len(toks) - 1
+
+
 def quality_classify(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """fastText-architecture document classifier (Joulin et al. 2016:
@@ -780,23 +822,62 @@ def quality_classify(df: DataFrame, id_col: str = "doc_id",
 
     Output: (id, n_features, score0, score1, label).
 
-    Scale shape: explode -> codegen bucket/weight math -> ONE shuffle
-    into groupBy(id) with map-side partial sums. This is exactly how a
-    production fastText-quality pass (CCNet, DCLM) distributes: the
-    model is a broadcast-free closed form here; a real weight table
-    would be a broadcast array lookup with the same plan."""
-    ex = hashed_feature_buckets(df, id_col, text_col)
-    scored = ex.select("id", _qc_weight(F.col("b"), 0).alias("w0"),
-                       _qc_weight(F.col("b"), 1).alias("w1"))
-    agg = (scored.groupBy("id")
-           .agg(F.count("*").alias("n_features"),
-                F.sum("w0").alias("score0"),
-                F.sum("w1").alias("score1")))
-    return agg.select(
-        "id", F.col("n_features").cast("bigint"),
-        F.col("score0").cast("bigint"), F.col("score1").cast("bigint"),
-        F.when(F.col("score1") > F.col("score0"), 1).otherwise(0)
-        .cast("int").alias("label"))
+    Scale shape: scoring is DOC-LOCAL (the hashing-trick model is a
+    closed form over the bucket index), so the whole classifier is one
+    Arrow kernel behind the conditional compute-spread: per doc,
+    bucket counts via a per-task feature memo (md5 once per distinct
+    feature per task, not per occurrence) and the two scores as one
+    vectorized weight gather — ZERO shuffles, no explode. The earlier
+    explode + groupBy(id) form shipped one row per feature occurrence
+    (25M rows at sf1.0) through codegen md5 + interpreted bigram HOF.
+    A real (non-closed-form) weight table would be the same kernel
+    with a broadcast weight array."""
+    import numpy as np
+    import pyarrow as pa
+
+    from edspdf_spark.plans.salt import spread_compute
+
+    buckets = QC_BUCKETS
+    idx = np.arange(buckets, dtype=np.int64)
+    w_arr = {cls: ((idx + 1) * a + c) % QC_MOD % 201 - 100
+             for cls, (a, c) in QC_LCG.items()}
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (f"id {id_type}, n_features bigint, score0 bigint, "
+                  "score1 bigint, label int")
+
+    def fn(batches):
+        w0a, w1a = w_arr[0], w_arr[1]
+        memo: dict = {}
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_id, o_n, o_s0, o_s1, o_lb = [], [], [], [], []
+            for i, counts, n_occ in _iter_bucket_counts(
+                    ids, texts, buckets, memo):
+                bs = np.fromiter(counts.keys(), dtype=np.int64,
+                                 count=len(counts))
+                cs = np.fromiter(counts.values(), dtype=np.int64,
+                                 count=len(counts))
+                s0 = int((w0a[bs] * cs).sum())
+                s1 = int((w1a[bs] * cs).sum())
+                o_id.append(i)
+                o_n.append(n_occ)
+                o_s0.append(s0)
+                o_s1.append(s1)
+                o_lb.append(1 if s1 > s0 else 0)
+            if o_id:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_id, type=batch.column("id").type),
+                     pa.array(o_n, pa.int64()),
+                     pa.array(o_s0, pa.int64()),
+                     pa.array(o_s1, pa.int64()),
+                     pa.array(o_lb, pa.int32())],
+                    names=["id", "n_features", "score0", "score1",
+                           "label"])
+
+    return (spread_compute(df.select(F.col(id_col).alias("id"),
+                                     F.col(text_col).alias("text")))
+            .mapInArrow(fn, schema=out_schema))
 
 
 def lm_perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
@@ -906,27 +987,92 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     Output: (id, n_features, weight, selected).
 
     Scale shape: both bucket-count tables are at most `buckets` rows
-    (hashing trick = fixed-size model) and broadcast; the corpus-side
-    scan is explode -> map-side partial sums -> ONE groupBy(id)
-    shuffle. The target sample is small by construction (DSIR targets
-    are quality subsets, not corpora)."""
-    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
-    feats = hashed_feature_buckets(df, id_col, text_col, buckets)
-    cr = feats.groupBy("b").agg(F.count("*").alias("cr"))
-    ct = (hashed_feature_buckets(target, id_col, text_col, buckets)
-          .groupBy("b").agg(F.count("*").alias("ct")))
-    lp = (ilog2(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
-          - ilog2(F.col("cr") + F.lit(1)))
-    scored = (feats.join(F.broadcast(cr), "b")
-              .join(F.broadcast(ct), "b", "left")
-              .select("id", lp.alias("lp")))
-    agg = (scored.groupBy("id")
-           .agg(F.count("*").alias("n_features"),
-                F.sum("lp").alias("weight")))
-    return agg.select(
-        "id", F.col("n_features").cast("bigint"),
-        F.col("weight").cast("bigint"),
-        (F.col("weight") >= cutoff).alias("selected"))
+    (hashing trick = fixed-size model); they are built by one counting
+    kernel per table (per-task bucket sums — at most `buckets` partial
+    rows per task) and collected to the driver (bounded by `buckets`,
+    the broadcast-scalar re-attach pattern). Scoring is then DOC-LOCAL:
+    one Arrow kernel computes each document's weight as a vectorized
+    gather against the closed log-ratio array — no per-occurrence rows,
+    no corpus-side join, no groupBy(id) shuffle. The target sample is
+    small by construction (DSIR targets are quality subsets, not
+    corpora)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from edspdf_spark.plans.salt import spread_compute
+
+    def bucket_totals(src: DataFrame) -> np.ndarray:
+        def count_fn(batches):
+            memo: dict = {}
+            tot = np.zeros(buckets, dtype=np.int64)
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                texts = batch.column("text").to_pylist()
+                for _i, counts, _n in _iter_bucket_counts(
+                        ids, texts, buckets, memo):
+                    bs = np.fromiter(counts.keys(), dtype=np.int64,
+                                     count=len(counts))
+                    cs = np.fromiter(counts.values(), dtype=np.int64,
+                                     count=len(counts))
+                    tot[bs] += cs
+            nz = np.flatnonzero(tot)
+            if nz.size:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(nz, pa.int64()),
+                     pa.array(tot[nz], pa.int64())],
+                    names=["b", "cnt"])
+
+        rows = (spread_compute(src.select(F.col(id_col).alias("id"),
+                                          F.col(text_col).alias("text")))
+                .mapInArrow(count_fn, schema="b bigint, cnt bigint")
+                .groupBy("b").agg(F.sum("cnt").alias("cnt"))
+                .toArrow())
+        out = np.zeros(buckets, dtype=np.int64)
+        bcol = np.asarray(rows.column("b"))
+        ccol = np.asarray(rows.column("cnt"))
+        if bcol.size:
+            out[bcol] = ccol
+        return out
+
+    cr = bucket_totals(df)
+    ct = bucket_totals(target)
+    # ilog2(c) = length(bin(c)) - 1 = bit_length - 1 for positive c
+    lp_arr = np.array(
+        [(int(ct[b]) + 1).bit_length() - (int(cr[b]) + 1).bit_length()
+         for b in range(buckets)], dtype=np.int64)
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (f"id {id_type}, n_features bigint, weight bigint, "
+                  "selected boolean")
+
+    def score_fn(batches):
+        memo: dict = {}
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_id, o_n, o_w, o_s = [], [], [], []
+            for i, counts, n_occ in _iter_bucket_counts(
+                    ids, texts, buckets, memo):
+                bs = np.fromiter(counts.keys(), dtype=np.int64,
+                                 count=len(counts))
+                cs = np.fromiter(counts.values(), dtype=np.int64,
+                                 count=len(counts))
+                w = int((lp_arr[bs] * cs).sum())
+                o_id.append(i)
+                o_n.append(n_occ)
+                o_w.append(w)
+                o_s.append(w >= cutoff)
+            if o_id:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_id, type=batch.column("id").type),
+                     pa.array(o_n, pa.int64()),
+                     pa.array(o_w, pa.int64()),
+                     pa.array(o_s, pa.bool_())],
+                    names=["id", "n_features", "weight", "selected"])
+
+    return (spread_compute(df.select(F.col(id_col).alias("id"),
+                                     F.col(text_col).alias("text")))
+            .mapInArrow(score_fn, schema=out_schema))
 
 
 def word_blocklist_filter(df: DataFrame, words,
