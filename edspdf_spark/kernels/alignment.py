@@ -31,10 +31,51 @@ Mask = Tuple[Optional[int], float, float, float, float, Any]
 BlocKey = Tuple[Optional[int], float, float, float, float]
 
 
+# pages at or below this (sources+1) x dst cell count use the plain-
+# Python path below — elementwise float64 min/max/mul/div/compare are
+# IEEE-identical to the numpy formulation (no reductions, no FMA), and
+# the numpy array setup costs ~75us/page, which dominates the 2-3 mask
+# x ~15 bloc pages the extractor produces (tests pin fast == numpy)
+_SMALL_ALIGN_CELLS = 512
+
+
 def _align_on_page(src: List[Mask], dst: List[BlocKey], threshold: float,
                    pollution_label: Any) -> List[Any]:
     if len(src) == 0 or len(dst) == 0:
         return []
+
+    if (len(src) + 1) * len(dst) <= _SMALL_ALIGN_CELLS:
+        rows = [(m[1], m[2], m[3], m[4], m[5]) for m in src]
+        rows.append((-INF, INF, -INF, INF, pollution_label))
+        out: List[Any] = []
+        for b in dst:
+            dx0, dx1, dy0, dy1 = b[1], b[2], b[3], b[4]
+            d_area = (dx1 - dx0) * (dy1 - dy0)
+            if d_area == 0.0:
+                d_area = 1.0
+            best = None
+            best_lab = None
+            for sx0, sx1, sy0, sy1, lab in rows:
+                ddx = (sx1 if sx1 < dx1 else dx1) \
+                    - (sx0 if sx0 > dx0 else dx0)
+                ddy = (sy1 if sy1 < dy1 else dy1) \
+                    - (sy0 if sy0 > dy0 else dy0)
+                if ddx < 0.0:
+                    ddx = 0.0
+                if ddy < 0.0:
+                    ddy = 0.0
+                overlap = ddx * ddy
+                s_area = (sx1 - sx0) * (sy1 - sy0)
+                if s_area == 0.0:
+                    s_area = 1.0
+                score = overlap / s_area
+                if overlap / d_area < threshold:
+                    score = 0.0
+                if best is None or score > best:   # first max wins
+                    best = score
+                    best_lab = lab
+            out.append(best_lab)
+        return out
 
     labels = [m[5] for m in src] + [pollution_label]
 

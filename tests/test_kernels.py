@@ -407,3 +407,40 @@ def test_walk_line_matches_spec_hypothesis():
         assert walk_line(chars) == _walk_line_spec(chars)
 
     run()
+
+
+def test_align_small_path_matches_numpy():
+    """The small-page pure-Python alignment path must be bit-identical
+    to the numpy formulation on randomized mask/bloc layouts
+    (including zero-area boxes and threshold-boundary overlaps)."""
+    import random
+
+    from edspdf_spark.kernels import alignment as A
+
+    rng = random.Random(13)
+
+    def boxes(n, page=0, with_label=False):
+        out = []
+        for i in range(n):
+            x0, y0 = rng.random(), rng.random()
+            w = rng.choice([0.0, rng.random() * 0.5])
+            h = rng.choice([0.0, rng.random() * 0.5])
+            if with_label:
+                out.append((page, x0, x0 + w, y0, y0 + h, f"m{i}"))
+            else:
+                out.append((page, x0, x0 + w, y0, y0 + h))
+        return out
+
+    saved = A._SMALL_ALIGN_CELLS
+    try:
+        for trial in range(60):
+            src = boxes(rng.randint(1, 4), with_label=True)
+            dst = boxes(rng.randint(1, 12))
+            thr = rng.choice([0.0001, 0.1, 0.5, 1.0])
+            A._SMALL_ALIGN_CELLS = 10 ** 9
+            fast = A._align_on_page(src, dst, thr, "poll")
+            A._SMALL_ALIGN_CELLS = 0      # force the numpy path
+            slow = A._align_on_page(src, dst, thr, "poll")
+            assert fast == slow, (trial, src, dst, thr)
+    finally:
+        A._SMALL_ALIGN_CELLS = saved
