@@ -209,24 +209,44 @@ def _pairs_via_postings(shingles: DataFrame, max_doc_freq: Optional[int],
             | pc.is_null(table.column("code")).to_numpy(
                 zero_copy_only=False))
         ids_raw, codes_raw = ids_raw[valid], codes_raw[valid]
-    uniq_ids, doc_inv = np.unique(ids_raw, return_inverse=True)
+    # TWO sorts total (by code, by id); factorizations, counts and
+    # both CSR layouts derive from the sorted orders (np.unique would
+    # pay an internal sort per call, and the CSR builds another two)
+    n_rows = len(ids_raw)
+    codes = codes_raw.astype(np.int64)
+
+    def _factorize(vals, order):
+        sv = vals[order]
+        new = np.empty(len(sv), dtype=bool)
+        if len(sv):
+            new[0] = True
+            new[1:] = sv[1:] != sv[:-1]
+        grp_sorted = np.cumsum(new) - 1
+        inv = np.empty(len(sv), dtype=np.int64)
+        inv[order] = grp_sorted
+        return sv[new], inv
+
+    order_c = np.argsort(codes, kind="stable")
+    _, code_inv = _factorize(codes, order_c)
+    order_d = np.argsort(ids_raw, kind="stable")
+    uniq_ids, doc_inv = _factorize(ids_raw, order_d)
     n_docs = len(uniq_ids)
-    _, code_inv, code_counts = np.unique(
-        codes_raw.astype(np.int64), return_inverse=True,
-        return_counts=True)
-    if max_doc_freq is not None:
+    n_codes = int(code_inv.max()) + 1 if n_rows else 0
+    if max_doc_freq is not None and n_rows:
+        code_counts = np.bincount(code_inv, minlength=n_codes)
         keep = code_counts[code_inv] <= max_doc_freq
-        doc_inv, code_inv = doc_inv[keep], code_inv[keep]
-    n_codes = int(code_inv.max()) + 1 if code_inv.size else 0
-    sizes = np.bincount(doc_inv, minlength=n_docs).astype(np.int64)
+        # a filtered subsequence of a sorted order stays sorted
+        order_c = order_c[keep[order_c]]
+        order_d = order_d[keep[order_d]]
+    sizes = np.bincount(doc_inv[order_d],
+                        minlength=n_docs).astype(np.int64)
     # CSR code -> doc indices (postings), CSR doc -> code indices
-    order = np.argsort(code_inv, kind="stable")
-    post_docs = doc_inv[order].astype(np.int32)
-    code_lens = np.bincount(code_inv, minlength=n_codes).astype(np.int64)
+    post_docs = doc_inv[order_c].astype(np.int32)
+    code_lens = np.bincount(code_inv[order_c],
+                            minlength=n_codes).astype(np.int64)
     post_offsets = np.zeros(n_codes + 1, dtype=np.int64)
     np.cumsum(code_lens, out=post_offsets[1:])
-    order2 = np.argsort(doc_inv, kind="stable")
-    doc_codes = code_inv[order2].astype(np.int32)
+    doc_codes = code_inv[order_d].astype(np.int32)
     doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(sizes, out=doc_offsets[1:])
 
