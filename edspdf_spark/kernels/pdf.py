@@ -1132,20 +1132,23 @@ def _run_content(stream: bytes,
         # restricted-grammar replay (see _FAST_STREAM_RE): the
         # interpreter's behavior on BT/Tm/Tf/Tj/ET with an empty
         # graphics stack reduces exactly to these transitions
-        for m in _FAST_OP_RE.finditer(stream):
-            k = m.lastindex
-            if k == 1:                      # (string) Tj
-                show(_decode_pdf_string(m.group(1)))
-            elif k == 2:                    # a b c d e f Tm
-                tlm = tuple(map(float, m.group(2).split(b" ")))
+        # findall tuple dispatch: exactly one alternative matches per
+        # op and no matched group can be empty (_FNUM is >=1 char,
+        # strings keep their parens), so truthiness identifies the op
+        # without per-match Match-object probing
+        for s, tmg, tag, sizeg, bt, _et in _FAST_OP_RE.findall(stream):
+            if s:                           # (string) Tj
+                show(_decode_pdf_string(s))
+            elif tmg:                       # a b c d e f Tm
+                tlm = tuple(map(float, tmg.split(b" ")))
                 tm = tlm
                 flush()
-            elif k == 4:                    # /Tag size Tf
-                size = float(m.group(4))
-                finfo = fonts.get(m.group(3).decode("latin-1"),
+            elif sizeg:                     # /Tag size Tf
+                size = float(sizeg)
+                finfo = fonts.get(tag.decode("latin-1"),
                                   FontInfo(name="Unknown"))
                 font = finfo.name
-            elif k == 5:                    # BT
+            elif bt:                        # BT
                 in_text = True
                 tm = tlm = _MAT_ID
                 cur = None
