@@ -121,19 +121,24 @@ def _cap_doc_freq(shingles: DataFrame,
     doc, so count(*) per code IS document frequency).
 
     Plan shape: the shingle table is explicitly hash-repartitioned on
-    `code` FIRST, so the doc-freq aggregation, the semi-join against
-    the keep set, and the downstream pair self-join all satisfy their
-    distribution from ONE reused exchange — the expensive
-    explode+hash scan runs exactly once per query instead of once per
-    branch. Count-based (never collect_list), so a stop-shingle with
-    a billion-document frequency costs one long-tail counter, not an
-    OOM — the 100-TB-safe formulation."""
+    `code` FIRST; the doc-freq count then runs as a count(*) window
+    over that one exchange and the filter drops hot codes in the same
+    pass — no separate freq aggregate, no keep-set join, no sort-merge
+    of two 2.6M-row sides (r6: 1.55 s -> 0.90 s for the capped table
+    at 10x rows, identical rows). The downstream pair self-join still
+    satisfies its distribution from the same exchange. Count-based
+    (never collect_list), so a stop-shingle with a billion-document
+    frequency costs one spilled window partition on the exchange's
+    single reducer for that key — the same reducer the previous
+    agg+join shape funnelled those rows through — not an OOM."""
     if max_doc_freq is None:
         return shingles
+    from pyspark.sql import Window
+
     sh = shingles.repartition(F.col("code"))
-    freq = sh.groupBy("code").agg(F.count("*").alias("_df"))
-    keep = freq.where(F.col("_df") <= max_doc_freq).select("code")
-    return sh.join(keep, "code")
+    w = Window.partitionBy("code")
+    return (sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_doc_freq).drop("_df"))
 
 
 # gate for the broadcast-postings pair counter: when the (materialized)
