@@ -444,7 +444,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     otherwise re-scan and re-hash the corpus for each reuse."""
     sh = shingle_table(df, id_col, text_col, k, max_doc_freq).persist()
     sigs = minhash_signatures(sh, n_hashes).persist()
-    cand = lsh_candidates(sigs, band_size)
+    # cand is consumed twice (cand_ids prune + the final join); without
+    # the persist the band self-join + distinct re-runs for each use
+    cand = lsh_candidates(sigs, band_size).persist()
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
